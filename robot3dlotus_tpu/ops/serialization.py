@@ -1,0 +1,150 @@
+"""Space-filling-curve serialization codecs, vectorized for XLA/TPU.
+
+Semantics-parity targets in the reference:
+  * z-order Morton interleave: models/PointTransformerV3/serialization/z_order.py:40-101
+    (bit layout per level i: x -> bit 3i+2, y -> bit 3i+1, z -> bit 3i)
+  * Hilbert (Skilling transpose): serialization/hilbert.py:91-198
+  * order dispatch with the 'trans' variants swapping x and y:
+    serialization/default.py:8-24
+
+TPU-first differences from the reference:
+  * int32 codes (depth <= 10, i.e. 2^10 voxels per axis — ample for the <=2 m
+    robot workspace at 1 cm; the reference needs int64 only because it encodes
+    the batch index into the key, which our padded (B, N) layout makes
+    unnecessary).
+  * no LUTs: the bit-interleave loops unroll at trace time into fused VPU
+    shifts/ors; the Hilbert transform is Skilling's algorithm on integer bit
+    planes, branchless via jnp.where.
+
+All functions operate on (..., 3) int32 grid coordinates and are jit/vmap
+friendly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SFC_ORDERS = ("z", "z-trans", "hilbert", "hilbert-trans")
+
+MAX_DEPTH_I32 = 10  # 3*10 = 30 bits < 31
+
+
+def z_order_encode(grid_coord: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
+    """Morton / z-order key. grid_coord: (..., 3) int32 in [0, 2^depth)."""
+    assert depth <= MAX_DEPTH_I32
+    x = grid_coord[..., 0].astype(jnp.int32)
+    y = grid_coord[..., 1].astype(jnp.int32)
+    z = grid_coord[..., 2].astype(jnp.int32)
+    key = jnp.zeros_like(x)
+    for i in range(depth):
+        mask = jnp.int32(1 << i)
+        key = (
+            key
+            | ((x & mask) << (2 * i + 2))
+            | ((y & mask) << (2 * i + 1))
+            | ((z & mask) << (2 * i + 0))
+        )
+    return key
+
+
+def _hilbert_axes_to_transpose(x, y, z, depth: int):
+    """Skilling's AxesToTranspose for 3 dims, branchless/vectorized.
+
+    Returns the 'transposed' Hilbert representation (X0, X1, X2) where the
+    Hilbert index is the bit-interleave X0 (MSB lane) .. X2 (LSB lane).
+    Equivalent to the reference's Gray-code bit-matrix formulation
+    (hilbert.py:156-181); equivalence is enforced by golden tests.
+    """
+    X = [x.astype(jnp.int32), y.astype(jnp.int32), z.astype(jnp.int32)]
+    M = 1 << (depth - 1)
+
+    # Inverse undo excess work
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(3):
+            cond = (X[i] & Q) > 0
+            # if bit set: invert low bits of X[0]; else swap low bits X[0]<->X[i]
+            t = (X[0] ^ X[i]) & P
+            X0_if = X[0] ^ P
+            X0_else = X[0] ^ t
+            Xi_else = X[i] ^ t
+            X[0] = jnp.where(cond, X0_if, X0_else)
+            if i != 0:
+                X[i] = jnp.where(cond, X[i], Xi_else)
+            # note: when i == 0, t == 0 so both branches leave X[0]^=P or X[0]
+        Q >>= 1
+
+    # Gray encode
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        t = jnp.where((X[2] & Q) > 0, t ^ (Q - 1), t)
+        Q >>= 1
+    return [X[0] ^ t, X[1] ^ t, X[2] ^ t]
+
+
+def hilbert_encode(grid_coord: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
+    """Hilbert key via Skilling transpose. grid_coord: (..., 3) int32."""
+    assert depth <= MAX_DEPTH_I32
+    X = _hilbert_axes_to_transpose(
+        grid_coord[..., 0], grid_coord[..., 1], grid_coord[..., 2], depth
+    )
+    # Interleave transposed bits: for bit level b (0 = MSB of each lane),
+    # output bits ordered X0[b], X1[b], X2[b] from the MSB down.
+    key = jnp.zeros_like(X[0])
+    for b in range(depth):
+        src = depth - 1 - b  # source bit index (MSB first)
+        for d in range(3):
+            dst = 3 * (depth - 1 - b) + (2 - d)
+            bit = (X[d] >> src) & 1
+            key = key | (bit << dst)
+    return key
+
+
+def sfc_encode(grid_coord: jnp.ndarray, order: str, depth: int = 10) -> jnp.ndarray:
+    """Dispatch like reference serialization/default.py:8-24 (no batch prefix:
+    the batch dim is a real array axis in this framework)."""
+    assert order in SFC_ORDERS, order
+    if order == "z":
+        return z_order_encode(grid_coord, depth)
+    if order == "z-trans":
+        return z_order_encode(grid_coord[..., jnp.array([1, 0, 2])], depth)
+    if order == "hilbert":
+        return hilbert_encode(grid_coord, depth)
+    return hilbert_encode(grid_coord[..., jnp.array([1, 0, 2])], depth)
+
+
+def serialize_codes(grid_coord: jnp.ndarray, mask: jnp.ndarray, depth: int,
+                    orders=SFC_ORDERS):
+    """Compute per-order codes with padding sentinel.
+
+    Args:
+      grid_coord: (B, N, 3) int32, valid entries in [0, 2^depth)
+      mask: (B, N) bool, True = real point
+    Returns:
+      codes: (num_orders, B, N) int32; invalid points get INT32_MAX so they
+      sort to the tail of every order.
+    """
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    codes = jnp.stack([sfc_encode(grid_coord, o, depth) for o in orders], axis=0)
+    return jnp.where(mask[None], codes, sentinel)
+
+
+def argsort_with_inverse(codes: jnp.ndarray):
+    """Sort each (B, N) row ascending; return (order, inverse).
+
+    order[..., k] = index of the k-th smallest code.
+    inverse[..., i] = rank of point i.
+    Mirrors reference model.py:121-128.
+    """
+    order = jnp.argsort(codes, axis=-1, stable=True)
+    n = codes.shape[-1]
+    ranks = jnp.broadcast_to(jnp.arange(n, dtype=order.dtype), order.shape)
+    inverse = jax.vmap(
+        lambda o, r: jnp.zeros_like(o).at[o].set(r),
+        in_axes=(0, 0),
+    )(order.reshape(-1, n), ranks.reshape(-1, n)).reshape(order.shape)
+    return order, inverse
