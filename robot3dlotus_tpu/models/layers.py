@@ -1,0 +1,355 @@
+"""Flax building blocks for the TPU PointTransformerV3 stack.
+
+Layer semantics track the reference modules (file:line cited per class) but
+operate on padded dense (B, N, C) tensors with validity masks instead of
+flat ragged (sum_N, C) tensors, so every op is static-shaped for XLA.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.patching import gather_sorted, scatter_back
+from ..ops.sparse_conv import NeighborMap, subm_conv_apply, stencil_offsets
+
+# Reference inits: trunc_normal(std=0.02) for Linear/Embedding weights, zero
+# bias (models/base.py:36-49).
+trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def dense(features, name=None, use_bias=True):
+    return nn.Dense(features, use_bias=use_bias, kernel_init=trunc_init,
+                    bias_init=nn.initializers.zeros, name=name)
+
+
+def gelu(x):
+    # torch nn.GELU default is the exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def drop_path(x, rate, deterministic, rng):
+    """Per-row stochastic depth (timm DropPath over the point axis, matching
+    the reference which applies it on flat (sum_N, C) tensors)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = x.shape[:-1] + (1,)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over all valid points of the batch (torch semantics:
+    eps 1e-3, momentum 0.01 — reference model.py:932). Under pjit with a
+    batch-sharded mesh the masked sums become global psums automatically,
+    which reproduces SyncBatchNorm (train_simple_policy.py:117)."""
+    features: int
+    eps: float = 1e-3
+    momentum: float = 0.01  # torch convention: new = (1-m)*old + m*batch
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average=False):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                cnt = jnp.float32(x.size // self.features)
+                mean = jnp.mean(xf.reshape(-1, self.features), axis=0)
+                var = jnp.mean(
+                    (xf.reshape(-1, self.features) - mean) ** 2, axis=0)
+            else:
+                m = mask[..., None].astype(jnp.float32)
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / cnt
+                var = jnp.sum(((xf - mean) ** 2) * m,
+                              axis=tuple(range(x.ndim - 1))) / cnt
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + \
+                    self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + \
+                    self.momentum * unbiased
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class LayerNorm(nn.Module):
+    features: int
+    eps: float = 1e-5  # torch nn.LayerNorm default
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average=False):
+        del mask, use_running_average
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class AdaptiveNorm(nn.Module):
+    """PDNorm equivalent (reference model.py:257-304) with decouple=False:
+    a base norm optionally modulated by a per-cloud context vector:
+    feat * (1 + scale) + shift, scale/shift = Linear(SiLU(context))."""
+    features: int
+    kind: str  # 'bn' | 'ln'
+    adaptive: bool = False
+    context_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, mask=None, context=None, use_running_average=False):
+        if self.kind == "bn":
+            y = MaskedBatchNorm(self.features, name="norm")(
+                x, mask=mask, use_running_average=use_running_average)
+        else:
+            y = LayerNorm(self.features, name="norm")(x)
+        if self.adaptive:
+            assert context is not None
+            mod = dense(2 * self.features, name="modulation")(
+                jax.nn.silu(context))
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            # context is per cloud: broadcast over the point axis
+            y = y * (1.0 + scale[:, None, :]) + shift[:, None, :]
+        return y
+
+
+class MLP(nn.Module):
+    """reference model.py:560-583."""
+    hidden: int
+    out: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = dense(self.hidden, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = dense(self.out, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class SubMConv(nn.Module):
+    """Submanifold sparse conv (spconv.SubMConv3d equivalent); weight layout
+    (K, Cin, Cout) with K in stencil_offsets order."""
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, nmap: NeighborMap):
+        K = self.kernel_size ** 3
+        cin = x.shape[-1]
+        # spconv default init: kaiming-uniform-ish over fan_in = K*Cin
+        fan_in = K * cin
+        w_init = nn.initializers.variance_scaling(
+            1.0 / 3.0, "fan_in", "uniform", in_axis=(0, 1), out_axis=2)
+        del fan_in
+        weight = self.param("weight", w_init, (K, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+        return subm_conv_apply(x, nmap, weight, bias)
+
+
+class SerializedAttention(nn.Module):
+    """Patch attention over one serialized order (reference model.py:329-557).
+
+    Dense formulation: qkv is gathered into padded serialized order via the
+    pad maps (ops/patching.py reproduces the reference's duplicate-pad
+    scheme), reshaped to (B, num_patches, P, ...) and attended per patch.
+    Only dead slots (beyond a cloud's padded length) are masked.
+    """
+    channels: int
+    num_heads: int
+    patch_size: int
+    order_index: int = 0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    upcast_softmax: bool = True
+
+    @nn.compact
+    def __call__(self, feat, order, inverse, src_pos, key_valid,
+                 deterministic=True):
+        B, N, C = feat.shape
+        H = self.num_heads
+        P = self.patch_size
+        Dh = C // H
+        scale = self.qk_scale or Dh ** -0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_init,
+                       name="qkv")(feat)
+        o = order[self.order_index]
+        inv = inverse[self.order_index]
+        qkv = gather_sorted(qkv, o, src_pos)  # (B, N, 3C) serialized order
+
+        NP = N // P
+        qkv = qkv.reshape(B, NP, P, 3, H, Dh)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        if self.qk_norm:
+            q = LayerNorm(Dh, eps=1e-6, name="q_norm")(q)
+            k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
+
+        # (B, NP, H, P, P)
+        logits = jnp.einsum("bnphd,bnqhd->bnhpq", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        kv_mask = key_valid.reshape(B, NP, 1, 1, P)
+        logits = jnp.where(kv_mask, logits, -1e9)
+        if self.upcast_softmax:
+            logits = logits.astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bnhpq,bnqhd->bnphd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, N, C)
+        out = scatter_back(out, inv)
+        out = dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class CrossAttention(nn.Module):
+    """Points -> text-context cross attention (reference model_ca.py:19-101),
+    dense masked formulation over (B, N) x (B, T)."""
+    channels: int
+    num_heads: int
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, feat, context, context_mask, deterministic=True):
+        B, N, C = feat.shape
+        H = self.num_heads
+        Dh = C // H
+        scale = Dh ** -0.5
+        q = dense(C, name="q")(feat).reshape(B, N, H, Dh)
+        kv = dense(2 * C, name="kv")(context).reshape(
+            B, context.shape[1], 2, H, Dh)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        if self.qk_norm:
+            q = LayerNorm(Dh, eps=1e-6, name="q_norm")(q)
+            k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
+        logits = jnp.einsum("bnhd,bthd->bnth", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        # reference masks with -1e4 (model_ca.py:89)
+        logits = jnp.where(context_mask[:, None, :, None], logits, -1e4)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bnth,bthd->bnhd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, N, C)
+        out = dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """PTv3 block: CPE conv residual, pre-norm attn, pre-norm MLP
+    (reference model.py:586-680)."""
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    order_index: int = 0
+    pre_norm: bool = True
+    norm_adaptive: bool = False
+    upcast_softmax: bool = True
+
+    @nn.compact
+    def __call__(self, feat, pc_aux, context_vec=None, deterministic=True):
+        """pc_aux: dict with order/inverse/src_pos/key_valid/cpe_nmap/mask."""
+        def norm(name):
+            return AdaptiveNorm(self.channels, kind="ln",
+                                adaptive=self.norm_adaptive, name=name)
+
+        # CPE: conv -> linear -> LN, residual (model.py:615-625, 659-662)
+        cpe = SubMConv(self.channels, 3, use_bias=True, name="cpe_conv")(
+            feat, pc_aux["cpe_nmap"])
+        cpe = dense(self.channels, name="cpe_fc")(cpe)
+        cpe = LayerNorm(self.channels, name="cpe_norm")(cpe)
+        feat = feat + cpe
+
+        shortcut = feat
+        x = norm("norm1")(feat, mask=pc_aux["mask"], context=context_vec,
+                          use_running_average=deterministic)
+        x = SerializedAttention(
+            self.channels, self.num_heads, self.patch_size,
+            order_index=self.order_index, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, qk_norm=self.qk_norm,
+            attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+            upcast_softmax=self.upcast_softmax, name="attn",
+        )(x, pc_aux["order"], pc_aux["inverse"], pc_aux["src_pos"],
+          pc_aux["key_valid"], deterministic=deterministic)
+        if self.drop_path > 0:
+            x = drop_path(x, self.drop_path, deterministic,
+                          self.make_rng("dropout"))
+        feat = shortcut + x
+
+        shortcut = feat
+        x = norm("norm2")(feat, mask=pc_aux["mask"], context=context_vec,
+                          use_running_average=deterministic)
+        x = MLP(int(self.channels * self.mlp_ratio), self.channels,
+                drop=self.proj_drop, name="mlp")(x, deterministic=deterministic)
+        if self.drop_path > 0:
+            x = drop_path(x, self.drop_path, deterministic,
+                          self.make_rng("dropout"))
+        feat = shortcut + x
+        return feat
+
+
+class CABlock(nn.Module):
+    """Cross-attention block interleaved after each self-attn block in the CA
+    variant (reference model_ca.py:104-152)."""
+    channels: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    norm_adaptive: bool = False
+
+    @nn.compact
+    def __call__(self, feat, context, context_mask, pc_aux, context_vec=None,
+                 deterministic=True):
+        def norm(name):
+            return AdaptiveNorm(self.channels, kind="ln",
+                                adaptive=self.norm_adaptive, name=name)
+
+        shortcut = feat
+        x = norm("norm1")(feat, mask=pc_aux["mask"], context=context_vec,
+                          use_running_average=deterministic)
+        x = CrossAttention(self.channels, self.num_heads, qk_norm=self.qk_norm,
+                           attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                           name="attn")(
+            x, context, context_mask, deterministic=deterministic)
+        feat = shortcut + x
+
+        shortcut = feat
+        x = norm("norm2")(feat, mask=pc_aux["mask"], context=context_vec,
+                          use_running_average=deterministic)
+        x = MLP(int(self.channels * self.mlp_ratio), self.channels,
+                drop=self.proj_drop, name="mlp")(x, deterministic=deterministic)
+        feat = shortcut + x
+        return feat

@@ -1,0 +1,314 @@
+"""TPU-native PointTransformerV3 backbone (U-Net over serialized point
+patches), covering both conditioning variants of the reference:
+
+  * context-vector conditioning through adaptive norms (PDNorm, reference
+    model.py:864-1101 with pdnorm_adaptive=True) — the AdaNorm policy /
+    motion-planner variant;
+  * per-token cross-attention conditioning (reference model_ca.py:155-412) —
+    the CA variant used by the released 3D-LOTUS policy
+    (job_scripts/train_3dlotus_policy.sh: MODEL.model_class SimplePolicyPTV3CA).
+
+Differences from the reference's execution model (all semantics-preserving,
+see SURVEY.md §7):
+  * clouds live in fixed-capacity padded (B, N_s, C) tensors with masks;
+    per-stage capacities halve (stride-2 pooling merges >=2 surface voxels on
+    average), keeping every shape static under jit;
+  * spconv/flash-attn/torch_scatter are replaced by the XLA-native engines in
+    ops/ (searchsorted neighbor maps + gather-matmul, dense duplicate-padded
+    patch attention, masked scatter segment reduce);
+  * grid coordinates are per-cloud (batch-composition-invariant) rather than
+    the reference's batch-global coordinate origin (model.py:96-98);
+  * serialization depth is static (default 10 <=> 2^10 voxels per axis)
+    instead of data-adaptive (model.py:100-102).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.serialization import serialize_codes, argsort_with_inverse, SFC_ORDERS
+from ..ops.patching import build_pad_maps
+from ..ops.pooling import (
+    build_pool_maps, segment_reduce, gather_heads, unpool_gather,
+)
+from ..ops.sparse_conv import build_neighbor_map
+from .layers import (
+    AdaptiveNorm, Block, CABlock, MaskedBatchNorm, SubMConv, dense, gelu,
+)
+
+
+def compute_grid_coord(coord, mask, grid_size, depth):
+    """floor((coord - per-cloud min) / grid_size), clipped to the serial cube."""
+    big = jnp.float32(1e9)
+    cmin = jnp.min(jnp.where(mask[..., None], coord, big), axis=1, keepdims=True)
+    gc = jnp.floor((coord - cmin) / grid_size).astype(jnp.int32)
+    return jnp.clip(gc, 0, (1 << depth) - 1)
+
+
+class SerializedPoolingTPU(nn.Module):
+    """Grid pooling: linear proj -> segment max -> BN -> GELU
+    (reference model.py:683-790)."""
+    features: int
+    reduce: str = "max"
+    norm_adaptive: bool = False
+
+    @nn.compact
+    def __call__(self, feat_sorted, maps, child_cap, child_mask,
+                 context_vec=None, deterministic=True):
+        x = dense(self.features, name="proj")(feat_sorted)
+        x = segment_reduce(x, maps, child_cap, self.reduce)
+        x = AdaptiveNorm(self.features, kind="bn",
+                         adaptive=self.norm_adaptive, name="norm")(
+            x, mask=child_mask, context=context_vec,
+            use_running_average=deterministic)
+        x = gelu(x)
+        return x
+
+
+class SerializedUnpoolingTPU(nn.Module):
+    """proj(child)[cluster] + proj_skip(parent); each proj is
+    Linear -> BN -> GELU (reference model.py:793-828)."""
+    features: int
+    norm_adaptive: bool = False
+
+    @nn.compact
+    def __call__(self, child_feat, child_mask, parent_feat, parent_mask,
+                 cluster, child_cap, context_vec=None, deterministic=True):
+        x = dense(self.features, name="proj_fc")(child_feat)
+        x = AdaptiveNorm(self.features, kind="bn",
+                         adaptive=self.norm_adaptive, name="proj_norm")(
+            x, mask=child_mask, context=context_vec,
+            use_running_average=deterministic)
+        x = gelu(x)
+        skip = dense(self.features, name="proj_skip_fc")(parent_feat)
+        skip = AdaptiveNorm(self.features, kind="bn",
+                            adaptive=self.norm_adaptive, name="proj_skip_norm")(
+            skip, mask=parent_mask, context=context_vec,
+            use_running_average=deterministic)
+        skip = gelu(skip)
+        return skip + unpool_gather(x, cluster, child_cap)
+
+
+class PointTransformerV3TPU(nn.Module):
+    """The U-Net backbone. Returns the list of decoder layer outputs
+    (dicts with feat/coord/mask/counts), mirroring return_dec_layers=True
+    (reference model.py:1089-1098, model_ca.py:400-409)."""
+    in_channels: int = 7
+    orders: Tuple[str, ...] = SFC_ORDERS
+    stride: Tuple[int, ...] = (2, 2, 2, 2)
+    enc_depths: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    enc_channels: Tuple[int, ...] = (64, 128, 256, 512, 768)
+    enc_num_head: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    enc_patch_size: Tuple[int, ...] = (128, 128, 128, 128, 128)
+    dec_depths: Tuple[int, ...] = (1, 1, 1, 1)
+    dec_channels: Tuple[int, ...] = (128, 128, 256, 512)
+    dec_num_head: Tuple[int, ...] = (4, 4, 8, 16)
+    dec_patch_size: Tuple[int, ...] = (128, 128, 128, 128)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    qk_norm: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    pre_norm: bool = True
+    shuffle_orders: bool = True
+    upcast_softmax: bool = True
+    # conditioning
+    use_cross_attn: bool = False     # CA variant
+    norm_adaptive: bool = False      # AdaNorm variant (pdnorm_adaptive)
+    # geometry
+    grid_size: float = 0.01
+    serial_depth: int = 10
+
+    def _stage_caps(self, n0):
+        caps = [n0]
+        for s in range(1, len(self.enc_depths)):
+            caps.append(max(caps[-1] // 2, min(self.enc_patch_size)))
+        return caps
+
+    def _make_aux(self, codes, counts, cap, patch, grid_coord, mask, depth):
+        order, inverse = argsort_with_inverse(codes)
+        src_pos, key_valid = build_pad_maps(counts, cap, min(patch, cap))
+        cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth)
+        return {
+            "order": order, "inverse": inverse, "src_pos": src_pos,
+            "key_valid": key_valid, "cpe_nmap": cpe_nmap, "mask": mask,
+        }
+
+    @nn.compact
+    def __call__(self, coord, feat, mask, counts, context=None,
+                 context_mask=None, context_vec=None, deterministic=True,
+                 return_dec_layers=True):
+        """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
+        counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
+        context_vec: (B, ctx) vector for adaptive norms."""
+        num_stages = len(self.enc_depths)
+        B, N0, _ = feat.shape
+        caps = self._stage_caps(N0)
+        depth0 = self.serial_depth
+
+        grid_coord = compute_grid_coord(coord, mask, self.grid_size, depth0)
+        codes = serialize_codes(grid_coord, mask, depth0, self.orders)
+        if self.shuffle_orders and not deterministic:
+            perm = jax.random.permutation(self.make_rng("shuffle"),
+                                          len(self.orders))
+            codes = codes[perm]
+
+        # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
+        stem_nmap = build_neighbor_map(grid_coord, mask, 5, depth0)
+        x = SubMConv(self.enc_channels[0], 5, use_bias=False,
+                     name="embedding_stem_conv")(feat, stem_nmap)
+        x = AdaptiveNorm(self.enc_channels[0], kind="bn",
+                         adaptive=self.norm_adaptive, name="embedding_norm")(
+            x, mask=mask, context=context_vec,
+            use_running_average=deterministic)
+        x = gelu(x)
+
+        # encoder
+        enc_dp = _linspace(0.0, self.drop_path, sum(self.enc_depths))
+        stage_state = []  # saved per stage for the decoder
+        cur = {
+            "feat": x, "coord": coord, "grid_coord": grid_coord,
+            "mask": mask, "counts": counts, "codes": codes, "depth": depth0,
+            "cap": N0,
+        }
+        pool_records = []  # (cluster, parent stage index)
+        for s in range(num_stages):
+            if s > 0:
+                cur, record = self._pool(
+                    s, cur, caps[s], context_vec, deterministic)
+                pool_records.append(record)
+            aux = self._make_aux(
+                cur["codes"], cur["counts"], cur["cap"],
+                self.enc_patch_size[s], cur["grid_coord"], cur["mask"],
+                cur["depth"])
+            cur["aux"] = aux
+            for i in range(self.enc_depths[s]):
+                blk_dp = enc_dp[sum(self.enc_depths[:s]) + i]
+                cur["feat"] = Block(
+                    self.enc_channels[s], self.enc_num_head[s],
+                    min(self.enc_patch_size[s], cur["cap"]),
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, qk_norm=self.qk_norm,
+                    attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                    drop_path=blk_dp, order_index=i % len(self.orders),
+                    norm_adaptive=self.norm_adaptive,
+                    upcast_softmax=self.upcast_softmax,
+                    name=f"enc{s}_block{i}",
+                )(cur["feat"], aux, context_vec=context_vec,
+                  deterministic=deterministic)
+                if self.use_cross_attn:
+                    cur["feat"] = CABlock(
+                        self.enc_channels[s], self.enc_num_head[s],
+                        mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
+                        attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                        norm_adaptive=self.norm_adaptive,
+                        name=f"enc{s}_cablock{i}",
+                    )(cur["feat"], context, context_mask, aux,
+                      context_vec=context_vec, deterministic=deterministic)
+            stage_state.append(dict(cur))
+
+        outputs = [self._pack(cur)]
+
+        # decoder (reference model.py:1012-1063)
+        dec_dp = _linspace(0.0, self.drop_path, sum(self.dec_depths))
+        dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
+        for s in reversed(range(num_stages - 1)):
+            parent = stage_state[s]
+            cluster, child_cap = pool_records[s]
+            feat_s = SerializedUnpoolingTPU(
+                dec_channels[s], norm_adaptive=self.norm_adaptive,
+                name=f"dec{s}_up",
+            )(cur["feat"], cur["mask"], parent["feat"], parent["mask"],
+              cluster, child_cap, context_vec=context_vec,
+              deterministic=deterministic)
+            cur = dict(parent)
+            cur["feat"] = feat_s
+            aux = parent["aux"]
+            dp_slice = dec_dp[sum(self.dec_depths[:s]):
+                              sum(self.dec_depths[:s + 1])][::-1]
+            for i in range(self.dec_depths[s]):
+                cur["feat"] = Block(
+                    dec_channels[s], self.dec_num_head[s],
+                    min(self.dec_patch_size[s], cur["cap"]),
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale, qk_norm=self.qk_norm,
+                    attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                    drop_path=dp_slice[i], order_index=i % len(self.orders),
+                    norm_adaptive=self.norm_adaptive,
+                    upcast_softmax=self.upcast_softmax,
+                    name=f"dec{s}_block{i}",
+                )(cur["feat"], aux, context_vec=context_vec,
+                  deterministic=deterministic)
+                if not self.use_cross_attn and return_dec_layers:
+                    outputs.append(self._pack(cur))
+                if self.use_cross_attn:
+                    cur["feat"] = CABlock(
+                        dec_channels[s], self.dec_num_head[s],
+                        mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
+                        attn_drop=self.attn_drop, proj_drop=self.proj_drop,
+                        norm_adaptive=self.norm_adaptive,
+                        name=f"dec{s}_cablock{i}",
+                    )(cur["feat"], context, context_mask, aux,
+                      context_vec=context_vec, deterministic=deterministic)
+                    if return_dec_layers:
+                        outputs.append(self._pack(cur))
+        return outputs
+
+    def _pool(self, s, cur, child_cap, context_vec, deterministic):
+        codes = cur["codes"]
+        order, inverse = argsort_with_inverse(codes)
+        o0, i0 = order[0], inverse[0]
+        codes0_sorted = jnp.take_along_axis(codes[0], o0, axis=-1)
+        maps = build_pool_maps(codes0_sorted, o0, i0, cur["counts"], child_cap)
+
+        feat_sorted = jnp.take_along_axis(
+            cur["feat"],
+            jnp.broadcast_to(o0[..., None],
+                             o0.shape + (cur["feat"].shape[-1],)), axis=1)
+        coord_sorted = jnp.take_along_axis(
+            cur["coord"],
+            jnp.broadcast_to(o0[..., None], o0.shape + (3,)), axis=1)
+
+        new_feat = SerializedPoolingTPU(
+            self.enc_channels[s], norm_adaptive=self.norm_adaptive,
+            name=f"enc{s}_down",
+        )(feat_sorted, maps, child_cap, maps.child_mask,
+          context_vec=context_vec, deterministic=deterministic)
+        new_coord = segment_reduce(coord_sorted, maps, child_cap, "mean")
+        new_gc = gather_heads(cur["grid_coord"], o0, maps) >> 1
+        new_codes = jnp.stack([
+            gather_heads(codes[k], o0, maps) >> 3
+            for k in range(codes.shape[0])
+        ])
+        sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+        new_codes = jnp.where(maps.child_mask[None], new_codes, sentinel)
+        if self.shuffle_orders and not deterministic:
+            perm = jax.random.permutation(self.make_rng("shuffle"),
+                                          len(self.orders))
+            new_codes = new_codes[perm]
+        new_counts = jnp.minimum(maps.child_counts, child_cap)
+        new_cur = {
+            "feat": new_feat, "coord": new_coord, "grid_coord": new_gc,
+            "mask": maps.child_mask, "counts": new_counts,
+            "codes": new_codes, "depth": max(cur["depth"] - 1, 1),
+            "cap": child_cap,
+        }
+        return new_cur, (maps.cluster, child_cap)
+
+    @staticmethod
+    def _pack(cur):
+        return {
+            "feat": cur["feat"], "coord": cur["coord"], "mask": cur["mask"],
+            "counts": cur["counts"],
+        }
+
+
+def _linspace(a, b, n):
+    if n <= 1:
+        return [b] * n
+    return [a + (b - a) * i / (n - 1) for i in range(n)]

@@ -1,0 +1,122 @@
+"""Smoke + contract tests for the SimplePolicy model: init, forward, loss,
+grads finite, decode shapes — the TPU analogue of the reference fake-batch
+__main__ contract (simple_policy_ptv3.py:466-485)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from robot3dlotus_tpu.models.simple_policy import (
+    SimplePolicyTPU, compute_loss, decode_actions,
+)
+
+PTV3_CFG = dict(
+    in_channels=6,
+    enc_depths=(1, 1, 1, 1, 1),
+    enc_channels=(16, 32, 32, 64, 64),
+    enc_num_head=(2, 4, 4, 4, 4),
+    enc_patch_size=(32, 32, 32, 32, 32),
+    dec_depths=(1, 1, 1, 1),
+    dec_channels=(16, 16, 32, 32),
+    dec_num_head=(2, 2, 4, 4),
+    dec_patch_size=(32, 32, 32, 32),
+    qk_norm=True,
+    attn_drop=0.1, proj_drop=0.1, drop_path=0.0,
+    shuffle_orders=True,
+    serial_depth=7,
+)
+ACT_CFG = dict(
+    voxel_size=0.01, context_channels=64, txt_ft_size=128,
+    use_ee_pose=False, use_step_id=False, max_steps=30,
+    reduce="max", dim_actions=7,
+    pos_pred_type="heatmap_disc", pos_heatmap_temp=0.1,
+    rot_pred_type="euler_disc", dropout=0.1,
+    pos_bins=10, pos_bin_size=0.01, best_disc_pos="max",
+    euler_resolution=5,
+)
+LOSS_CFG = dict(pos_weight=1.0, rot_weight=1.0)
+
+
+def fake_batch(B=2, N=256, T=5, cin=6, pos_bins=10, seed=0):
+    rng = np.random.RandomState(seed)
+    counts = np.array([N - 56, N][:B] + [N] * max(0, B - 2))
+    mask = np.arange(N)[None] < counts[:, None]
+    pc = rng.uniform(-0.3, 0.3, (B, N, cin)).astype(np.float32)
+    pc[~mask] = 0
+    txt = rng.randn(B, T, 128).astype(np.float32)
+    txt_mask = np.ones((B, T), bool)
+    txt_mask[0, 3:] = False
+    gt = np.zeros((B, 7), np.float32)
+    gt[:, :3] = rng.uniform(-0.2, 0.2, (B, 3))
+    gt[:, 3:6] = rng.randint(0, 72, (B, 3))
+    gt[:, 6] = rng.randint(0, 2, B)
+    probs = rng.rand(B, 3, N * 2 * pos_bins).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    q = rng.randn(B, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    ee = np.concatenate([rng.randn(B, 3).astype(np.float32), q,
+                         rng.randint(0, 2, (B, 1)).astype(np.float32)], -1)
+    return {
+        "pc_fts": jnp.asarray(pc), "pc_mask": jnp.asarray(mask),
+        "pc_counts": jnp.asarray(counts.astype(np.int32)),
+        "txt_embeds": jnp.asarray(txt), "txt_mask": jnp.asarray(txt_mask),
+        "ee_poses": jnp.asarray(ee),
+        "step_ids": jnp.zeros((B,), jnp.int32),
+        "gt_actions": jnp.asarray(gt),
+        "disc_pos_probs": jnp.asarray(probs),
+    }
+
+
+@pytest.mark.parametrize("variant", ["ca", "adanorm"])
+def test_forward_loss_grads(variant):
+    act = dict(ACT_CFG)
+    if variant == "adanorm":
+        act["use_ee_pose"] = True
+    model = SimplePolicyTPU(ptv3_cfg=PTV3_CFG, act_cfg=act, variant=variant)
+    batch = fake_batch()
+    key = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": key, "dropout": key, "shuffle": key},
+        batch, deterministic=True)
+
+    def loss_fn(params):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, deterministic=False,
+            rngs={"dropout": key, "shuffle": key},
+            mutable=["batch_stats"])
+        return compute_loss(preds, batch, act, LOSS_CFG)["total"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss)), loss
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_eval_decode_shapes_and_padding_invariance():
+    model = SimplePolicyTPU(ptv3_cfg=PTV3_CFG, act_cfg=ACT_CFG, variant="ca")
+    batch = fake_batch()
+    key = jax.random.PRNGKey(1)
+    variables = model.init(
+        {"params": key, "dropout": key, "shuffle": key},
+        batch, deterministic=True)
+
+    preds = model.apply(variables, batch, deterministic=True)
+    actions = decode_actions(preds, ACT_CFG)
+    assert actions.shape == (2, 8)
+    a = np.asarray(actions)
+    assert np.isfinite(a).all()
+    # quaternion is unit
+    np.testing.assert_allclose(
+        np.linalg.norm(a[:, 3:7], axis=-1), 1.0, atol=1e-5)
+
+    # padding invariance: garbage in padded slots must not change outputs
+    batch2 = dict(batch)
+    pc = np.asarray(batch["pc_fts"]).copy()
+    mask = np.asarray(batch["pc_mask"])
+    pc[~mask] = 777.0
+    batch2["pc_fts"] = jnp.asarray(pc)
+    preds2 = model.apply(variables, batch2, deterministic=True)
+    a2 = np.asarray(decode_actions(preds2, ACT_CFG))
+    np.testing.assert_allclose(a, a2, atol=2e-4)

@@ -1,0 +1,167 @@
+"""Unit tests for patch maps, segment pooling, and submanifold conv neighbor
+discovery, verified against small numpy brute-force implementations."""
+import numpy as np
+import jax.numpy as jnp
+
+from robot3dlotus_tpu.ops.patching import (
+    build_pad_maps, gather_sorted, scatter_back,
+)
+from robot3dlotus_tpu.ops.pooling import (
+    build_pool_maps, segment_reduce, gather_heads, unpool_gather,
+)
+from robot3dlotus_tpu.ops.sparse_conv import (
+    build_neighbor_map, subm_conv_apply, stencil_offsets,
+)
+from robot3dlotus_tpu.ops.serialization import (
+    serialize_codes, argsort_with_inverse,
+)
+
+
+def test_pad_maps_reference_semantics():
+    P, N = 4, 16
+    # m > P, not multiple: duplicates from previous patch
+    src, kv = build_pad_maps(jnp.asarray([10]), N, P)
+    src, kv = np.asarray(src[0]), np.asarray(kv[0])
+    np.testing.assert_array_equal(src[:10], np.arange(10))
+    # npad = 12; slots 10,11 duplicate slots 6,7 (reference model.py:441-450)
+    np.testing.assert_array_equal(src[10:12], [6, 7])
+    assert kv[:12].all() and not kv[12:].any()
+
+    # m <= P: single short segment, masked tail
+    src, kv = build_pad_maps(jnp.asarray([3]), N, P)
+    src, kv = np.asarray(src[0]), np.asarray(kv[0])
+    np.testing.assert_array_equal(src[:3], np.arange(3))
+    assert kv[:3].all() and not kv[3:].any()
+
+    # exact multiple: no padding
+    src, kv = build_pad_maps(jnp.asarray([8]), N, P)
+    assert np.asarray(kv[0])[:8].all() and not np.asarray(kv[0])[8:].any()
+
+
+def test_gather_scatter_roundtrip():
+    rng = np.random.RandomState(0)
+    B, N, C, P = 2, 32, 5, 8
+    m = np.array([30, 12])
+    gc = rng.randint(0, 64, size=(B, N, 3)).astype(np.int32)
+    mask = np.arange(N)[None] < m[:, None]
+    codes = serialize_codes(jnp.asarray(gc), jnp.asarray(mask), 6)
+    order, inverse = argsort_with_inverse(codes)
+    o0, i0 = order[0], inverse[0]  # first SFC order
+
+    x = rng.randn(B, N, C).astype(np.float32)
+    src, kv = build_pad_maps(jnp.asarray(m), N, P)
+    xs = gather_sorted(jnp.asarray(x), o0, src)
+    back = np.asarray(scatter_back(xs, i0))
+    # identity on valid points
+    np.testing.assert_allclose(back[mask], x[mask], atol=0)
+
+
+def test_pooling_matches_bruteforce():
+    rng = np.random.RandomState(1)
+    B, N, C, cap = 2, 64, 7, 64
+    m = np.array([60, 23])
+    gc = rng.randint(0, 32, size=(B, N, 3)).astype(np.int32)
+    mask = np.arange(N)[None] < m[:, None]
+    codes = serialize_codes(jnp.asarray(gc), jnp.asarray(mask), 5)
+    order, inverse = argsort_with_inverse(codes)
+    o0, i0 = order[0], inverse[0]
+
+    feat = rng.randn(B, N, C).astype(np.float32)
+    coord = rng.randn(B, N, 3).astype(np.float32)
+
+    codes0_sorted = np.take_along_axis(np.asarray(codes[0]), np.asarray(o0), -1)
+    maps = build_pool_maps(jnp.asarray(codes0_sorted), o0, i0,
+                           jnp.asarray(m), cap)
+
+    feat_sorted = np.take_along_axis(
+        feat, np.asarray(o0)[..., None].repeat(C, -1), axis=1)
+    pooled = np.asarray(segment_reduce(jnp.asarray(feat_sorted), maps, cap, "max"))
+    coord_sorted = np.take_along_axis(
+        coord, np.asarray(o0)[..., None].repeat(3, -1), axis=1)
+    pooled_coord = np.asarray(
+        segment_reduce(jnp.asarray(coord_sorted), maps, cap, "mean"))
+
+    for b in range(B):
+        parent = (np.asarray(codes[0])[b] >> 3)[mask[b]]
+        uniq = np.unique(parent)
+        assert np.asarray(maps.child_counts)[b] == len(uniq)
+        for j, u in enumerate(np.sort(uniq)):
+            sel = (np.asarray(codes[0])[b] >> 3 == u) & mask[b]
+            np.testing.assert_allclose(
+                pooled[b, j], feat[b, sel].max(0), atol=1e-6)
+            np.testing.assert_allclose(
+                pooled_coord[b, j], coord[b, sel].mean(0), atol=1e-5)
+        # cluster: original point -> its parent's rank among sorted uniques
+        cl = np.asarray(maps.cluster)[b][mask[b]]
+        expect = np.searchsorted(np.sort(uniq), parent)
+        np.testing.assert_array_equal(cl, expect)
+
+    # unpool gather: child feature broadcast back to parents
+    up = np.asarray(unpool_gather(jnp.asarray(pooled), maps.cluster, cap))
+    for b in range(B):
+        parent = np.asarray(codes[0])[b] >> 3
+        uniq = np.sort(np.unique(parent[mask[b]]))
+        for i in np.where(mask[b])[0]:
+            j = np.searchsorted(uniq, parent[i])
+            np.testing.assert_allclose(up[b, i], pooled[b, j], atol=0)
+
+    # head grid coords
+    heads = np.asarray(gather_heads(jnp.asarray(gc), o0, maps))
+    for b in range(B):
+        parent = np.asarray(codes[0])[b] >> 3
+        uniq = np.sort(np.unique(parent[mask[b]]))
+        for j, u in enumerate(uniq):
+            assert (parent[mask[b]] == u).any()
+            # head's parent voxel must match the cluster's
+            hp = heads[b, j]
+            members = gc[b][mask[b] & (parent == u)]
+            assert any((hp == mm).all() for mm in members)
+
+
+def test_neighbor_map_and_conv():
+    rng = np.random.RandomState(2)
+    B, N, depth = 2, 48, 5
+    m = np.array([48, 20])
+    # unique coords per cloud to mimic voxelized input
+    gcs = []
+    for b in range(B):
+        seen, pts = set(), []
+        while len(pts) < N:
+            c = tuple(rng.randint(0, 2 ** depth, 3))
+            if c not in seen:
+                seen.add(c)
+                pts.append(c)
+        gcs.append(pts)
+    gc = np.array(gcs, np.int32)
+    mask = np.arange(N)[None] < m[:, None]
+
+    nmap = build_neighbor_map(jnp.asarray(gc), jnp.asarray(mask), 3, depth)
+    offs = stencil_offsets(3)
+    idx, ok = np.asarray(nmap.idx), np.asarray(nmap.ok)
+    for b in range(B):
+        lookup = {tuple(gc[b, i]): i for i in range(m[b])}
+        for i in range(N):
+            for k, off in enumerate(offs):
+                tgt = tuple(gc[b, i] + off)
+                if mask[b, i] and tgt in lookup and all(
+                        0 <= t < 2 ** depth for t in tgt):
+                    assert ok[b, i, k], (b, i, k)
+                    assert idx[b, i, k] == lookup[tgt]
+                else:
+                    assert not ok[b, i, k]
+
+    Cin, Cout = 6, 4
+    feat = rng.randn(B, N, Cin).astype(np.float32)
+    w = rng.randn(len(offs), Cin, Cout).astype(np.float32) * 0.1
+    bias = rng.randn(Cout).astype(np.float32)
+    out = np.asarray(subm_conv_apply(jnp.asarray(feat), nmap,
+                                     jnp.asarray(w), jnp.asarray(bias)))
+    for b in range(B):
+        lookup = {tuple(gc[b, i]): i for i in range(m[b])}
+        for i in range(min(10, int(m[b]))):
+            acc = bias.copy()
+            for k, off in enumerate(offs):
+                j = lookup.get(tuple(gc[b, i] + off))
+                if j is not None:
+                    acc = acc + feat[b, j] @ w[k]
+            np.testing.assert_allclose(out[b, i], acc, rtol=2e-3, atol=1e-3)
