@@ -1,0 +1,192 @@
+"""Episode stores: where keystep episodes live on the host.
+
+The reference uses LMDB+msgpack (simple_policy_dataset.py:62-79). This
+framework supports three interchangeable backends behind one API:
+
+  * LmdbStore       — reads the reference's GemBench LMDB layout verbatim
+                      (requires the `lmdb` package).
+  * MsgpackDirStore — our own dependency-light format: one .msgpack file per
+                      episode under <root>/<taskvar>/<episode>.msgpack.
+  * SyntheticStore  — procedurally generated episodes with the exact field
+                      layout of the GemBench keysteps_bbox_pcd records; used
+                      for tests and benchmarking when no dataset is present.
+
+Episode record fields (GemBench voxel1cm layout, preprocess/
+gen_simple_policy_data.py:45-117):
+  xyz:   list[t] of (n_t, 3) float   voxelized world-space points
+  rgb:   list[t] of (n_t, 3) uint8
+  action: (t+1, 8) float — gripper pose+open per keystep
+  bbox_info / pose_info: dict[str] -> (t, ...) arrays for RobotBox
+"""
+from __future__ import annotations
+
+import os
+import io
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import msgpack
+
+
+def _pack_np(obj):
+    def default(o):
+        if isinstance(o, np.ndarray):
+            return {b"__nd__": True, b"d": o.tobytes(),
+                    b"t": o.dtype.str, b"s": list(o.shape)}
+        if isinstance(o, (np.integer,)):
+            return int(o)
+        if isinstance(o, (np.floating,)):
+            return float(o)
+        raise TypeError(type(o))
+    return msgpack.packb(obj, default=default, use_bin_type=True)
+
+
+def _unpack_np(buf):
+    def object_hook(o):
+        if o.get(b"__nd__") or o.get("__nd__"):
+            d = o.get(b"d", o.get("d"))
+            t = o.get(b"t", o.get("t"))
+            s = o.get(b"s", o.get("s"))
+            return np.frombuffer(d, dtype=np.dtype(t)).reshape(s)
+        return o
+    return msgpack.unpackb(buf, object_hook=object_hook, raw=False,
+                           strict_map_key=False)
+
+
+class MsgpackDirStore:
+    """<root>/<taskvar>/<episode>.msgpack"""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def taskvars(self) -> List[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)))
+
+    def episodes(self, taskvar: str) -> List[str]:
+        d = os.path.join(self.root, taskvar)
+        return sorted(f[:-8] for f in os.listdir(d) if f.endswith(".msgpack"))
+
+    def get(self, taskvar: str, episode: str):
+        path = os.path.join(self.root, taskvar, episode + ".msgpack")
+        with open(path, "rb") as f:
+            return _unpack_np(f.read())
+
+    def put(self, taskvar: str, episode: str, record) -> None:
+        d = os.path.join(self.root, taskvar)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, episode + ".msgpack"), "wb") as f:
+            f.write(_pack_np(record))
+
+
+class LmdbStore:
+    """Reads the reference GemBench LMDB layout (one env per taskvar)."""
+
+    def __init__(self, root: str):
+        import lmdb  # optional dependency
+        self.root = root
+        self._lmdb = lmdb
+        self._envs, self._txns = {}, {}
+
+    def taskvars(self):
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)))
+
+    def _txn(self, taskvar):
+        if taskvar not in self._txns:
+            env = self._lmdb.open(os.path.join(self.root, taskvar),
+                                  readonly=True, lock=False)
+            self._envs[taskvar] = env
+            self._txns[taskvar] = env.begin()
+        return self._txns[taskvar]
+
+    def episodes(self, taskvar):
+        txn = self._txn(taskvar)
+        return [k.decode() for k in txn.cursor().iternext(values=False)]
+
+    def get(self, taskvar, episode):
+        raw = self._txn(taskvar).get(episode.encode())
+        return _unpack_np(raw)
+
+
+class SyntheticStore:
+    """Procedural GemBench-shaped episodes (deterministic per episode id)."""
+
+    def __init__(self, num_taskvars=4, episodes_per_taskvar=8,
+                 steps_per_episode=4, points_per_step=12000, seed=0):
+        self._tv = [f"synthetic_task{i}+0" for i in range(num_taskvars)]
+        self._eps = [f"episode{j}" for j in range(episodes_per_taskvar)]
+        self.steps = steps_per_episode
+        self.npts = points_per_step
+        self.seed = seed
+
+    def taskvars(self):
+        return list(self._tv)
+
+    def episodes(self, taskvar):
+        return list(self._eps)
+
+    def get(self, taskvar, episode):
+        tvi = self._tv.index(taskvar)
+        epi = self._eps.index(episode)
+        rng = np.random.RandomState(
+            self.seed * 100003 + tvi * 1009 + epi)
+        T, n = self.steps, self.npts
+        ws_z = 0.7505
+        xyz, rgb = [], []
+        for t in range(T):
+            # a tabletop-ish scene: slab + a few blobs above the table
+            base = rng.uniform([-0.1, -0.35, ws_z + 0.001],
+                               [0.5, 0.35, ws_z + 0.002], (n // 2, 3))
+            blobs = rng.randn(n - n // 2, 3) * 0.05 + \
+                rng.uniform([0.0, -0.2, ws_z + 0.05],
+                            [0.4, 0.2, ws_z + 0.3], (1, 3))
+            pts = np.concatenate([base, blobs], 0).astype(np.float32)
+            # voxel-dedup at 1 cm like the preprocessing chain
+            vox = np.round(pts / 0.01).astype(np.int64)
+            _, idx = np.unique(vox, axis=0, return_index=True)
+            pts = pts[np.sort(idx)]
+            xyz.append(pts)
+            rgb.append(rng.randint(0, 256, (len(pts), 3)).astype(np.uint8))
+        quat = rng.randn(T + 1, 4)
+        quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+        action = np.concatenate([
+            rng.uniform([-0.1, -0.3, ws_z], [0.5, 0.3, ws_z + 0.4],
+                        (T + 1, 3)),
+            quat,
+            rng.randint(0, 2, (T + 1, 1)).astype(np.float64),
+        ], axis=1).astype(np.float32)
+
+        bbox_info, pose_info = {}, {}
+        from ...utils.robot_box import RLBENCH_ARM_LINKS, RLBENCH_GRIPPER_LINKS
+        for link in RLBENCH_ARM_LINKS + RLBENCH_GRIPPER_LINKS:
+            kind = "visual" if link in ("Panda_link0", "Panda_rightfinger",
+                                        "Panda_leftfinger", "Panda_gripper") \
+                else "respondable"
+            bb = np.tile(np.array([-0.04, 0.04, -0.04, 0.04, -0.08, 0.08],
+                                  np.float32), (T, 1))
+            pos = rng.uniform([-0.3, -0.4, ws_z], [0.0, 0.4, ws_z + 0.6],
+                              (T, 3))
+            q = rng.randn(T, 4)
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            bbox_info[f"{link}_{kind}_bbox"] = bb
+            pose_info[f"{link}_{kind}_pose"] = np.concatenate(
+                [pos, q], 1).astype(np.float32)
+        return {
+            "xyz": xyz, "rgb": rgb, "action": action,
+            "bbox_info": bbox_info, "pose_info": pose_info,
+        }
+
+
+def open_store(path_or_kind):
+    """'synthetic' | a directory of LMDB envs | a MsgpackDirStore root."""
+    if path_or_kind == "synthetic":
+        return SyntheticStore()
+    # sniff: LMDB dirs contain data.mdb
+    sub = [d for d in os.listdir(path_or_kind)
+           if os.path.isdir(os.path.join(path_or_kind, d))]
+    if sub and os.path.exists(os.path.join(path_or_kind, sub[0], "data.mdb")):
+        return LmdbStore(path_or_kind)
+    return MsgpackDirStore(path_or_kind)

@@ -12,7 +12,24 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# In the axon environment, sitecustomize registers the TPU backend before
+# conftest runs, so the env vars above may not take effect and tests execute
+# on the real chip. TPU matmuls default to bf16 inputs; tests verify exact
+# semantics, so force full fp32 matmuls here. (Training picks its own policy.)
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
 REFERENCE_ROOT = "/root/reference"
+
+# Env for subprocess-based multi-device CPU tests (bypasses the axon
+# sitecustomize via a scrubbed PYTHONPATH).
+CPU_MESH_ENV = dict(
+    os.environ,
+    PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
 
 
 def reference_available():
