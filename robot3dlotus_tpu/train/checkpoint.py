@@ -1,0 +1,96 @@
+"""Checkpointing: msgpack-serialized flax state + reference-layout converter.
+
+Reference behavior (train/utils/save.py:20-45): `model_step_{N}.pt` holds the
+flat model state_dict; `train_state_latest.pt` holds {step, optimizer} and is
+overwritten each save; resume scans for the latest pair
+(train_simple_policy.py:135-152).
+
+This module mirrors that layout with flax/msgpack artifacts:
+  model_step_{N}.msgpack        — serialized {params, batch_stats}
+  train_state_latest.msgpack    — {step, opt_state}
+plus save_training_meta dumping the resolved YAML config for eval-side
+reconstruction (save.py:12-18; eval reloads it, eval_simple_policy_server.py:236).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_training_meta(output_dir, config):
+    os.makedirs(os.path.join(output_dir, "logs"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "ckpts"), exist_ok=True)
+    with open(os.path.join(output_dir, "logs", "training_config.yaml"),
+              "w") as f:
+        config.dump(f)
+
+
+class ModelSaver:
+    def __init__(self, output_dir):
+        self.ckpt_dir = os.path.join(output_dir, "ckpts")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+    def save(self, state, step, save_latest_optim=True):
+        model = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        path = os.path.join(self.ckpt_dir, f"model_step_{step}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(model))
+        if save_latest_optim:
+            latest = {
+                "step": np.int64(step),
+                "opt_state": jax.device_get(state.opt_state),
+            }
+            lpath = os.path.join(self.ckpt_dir, "train_state_latest.msgpack")
+            with open(lpath, "wb") as f:
+                f.write(serialization.to_bytes(latest))
+        return path
+
+
+def find_resume_step(output_dir) -> Optional[int]:
+    ckpt_dir = os.path.join(output_dir, "ckpts")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    if not os.path.exists(os.path.join(ckpt_dir, "train_state_latest.msgpack")):
+        return None
+    steps = [int(m.group(1)) for f in os.listdir(ckpt_dir)
+             if (m := re.match(r"model_step_(\d+)\.msgpack$", f))]
+    return max(steps) if steps else None
+
+
+def load_model_ckpt(path, target_model):
+    """target_model: {'params': ..., 'batch_stats': ...} template."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target_model, f.read())
+
+
+def load_train_state_latest(output_dir, opt_state_template):
+    lpath = os.path.join(output_dir, "ckpts", "train_state_latest.msgpack")
+    with open(lpath, "rb") as f:
+        target = {"step": np.int64(0), "opt_state": opt_state_template}
+        return serialization.from_bytes(target, f.read())
+
+
+def resume_or_init(state, output_dir):
+    """Returns (state, start_step). Mirrors auto-resume
+    (train_simple_policy.py:135-152)."""
+    step = find_resume_step(output_dir)
+    if step is None:
+        return state, 0
+    model = load_model_ckpt(
+        os.path.join(output_dir, "ckpts", f"model_step_{step}.msgpack"),
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})
+    latest = load_train_state_latest(output_dir,
+                                     jax.device_get(state.opt_state))
+    state = state.replace(
+        params=model["params"], batch_stats=model["batch_stats"],
+        opt_state=latest["opt_state"], step=int(latest["step"]))
+    return state, int(latest["step"])

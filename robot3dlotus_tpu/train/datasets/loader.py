@@ -1,0 +1,110 @@
+"""Host data loading: episode sampling, per-process sharding, background
+prefetch to device.
+
+Replaces the reference's torch DataLoader + DistributedSampler + PrefetchLoader
+stack (train/datasets/loader.py:90-166): a thread pool prepares fixed-shape
+numpy batches while the accelerator runs the previous step; jax.device_put
+overlaps the H2D copy with compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+import jax
+
+from .collate import collate_keystep_samples
+
+
+class KeystepBatchLoader:
+    """Yields fixed-shape numpy batches of `num_clouds` keystep samples.
+
+    Episode-granular sampling like all_step_in_batch=True: each episode
+    contributes all its keysteps, and batches are re-chunked to a fixed
+    cloud count (the reference's variable clouds-per-batch becomes static).
+    """
+
+    def __init__(self, dataset, num_clouds, num_points, pos_bins=None,
+                 shuffle=True, seed=0, process_index=None, process_count=None,
+                 infinite=True):
+        self.dataset = dataset
+        self.num_clouds = num_clouds
+        self.num_points = num_points
+        self.pos_bins = pos_bins
+        self.shuffle = shuffle
+        self.seed = seed
+        self.infinite = infinite
+        self.process_index = (process_index if process_index is not None
+                              else jax.process_index())
+        self.process_count = (process_count if process_count is not None
+                              else jax.process_count())
+
+    def _epoch_ids(self, epoch):
+        n = len(self.dataset)
+        ids = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            rng.shuffle(ids)
+        # per-host shard (DistributedSampler equivalent)
+        return ids[self.process_index::self.process_count]
+
+    def __iter__(self) -> Iterator[dict]:
+        epoch = 0
+        buf = []
+        while True:
+            for idx in self._epoch_ids(epoch):
+                try:
+                    samples = self.dataset[int(idx)]
+                except Exception:
+                    continue
+                buf.extend(samples)
+                while len(buf) >= self.num_clouds:
+                    chunk, buf = buf[:self.num_clouds], buf[self.num_clouds:]
+                    yield collate_keystep_samples(
+                        chunk, self.num_points, pos_bins=self.pos_bins,
+                        num_clouds=self.num_clouds)
+            epoch += 1
+            if not self.infinite:
+                if buf:
+                    yield collate_keystep_samples(
+                        buf, self.num_points, pos_bins=self.pos_bins,
+                        num_clouds=self.num_clouds)
+                    buf = []
+                return
+
+
+class PrefetchToDevice:
+    """Background thread: host batch -> device (sharded) ahead of compute."""
+
+    def __init__(self, it, mesh=None, depth=2):
+        self.it = iter(it)
+        self.mesh = mesh
+        self.q = queue.Queue(maxsize=depth)
+        self.thread = threading.Thread(target=self._work, daemon=True)
+        self.thread.start()
+
+    def _work(self):
+        from ...parallel.mesh import shard_batch
+        try:
+            for batch in self.it:
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                else:
+                    batch = jax.tree_util.tree_map(jax.device_put, batch)
+                self.q.put(batch)
+        except Exception as e:  # surface errors on the consumer side
+            self.q.put(e)
+        self.q.put(StopIteration())
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if isinstance(item, StopIteration):
+            raise item
+        if isinstance(item, Exception):
+            raise item
+        return item

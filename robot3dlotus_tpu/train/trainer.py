@@ -1,0 +1,99 @@
+"""Training runtime: jitted DP train/val steps over a device mesh.
+
+Parity with the reference driver (train/train_simple_policy.py:53-288):
+config -> dataset -> model -> optimizer -> step loop with LR decay per step,
+grad clipping, periodic save/validate — but the step itself is one compiled
+XLA program with donated buffers, and data parallelism is sharding, not DDP.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax
+from flax.training import train_state
+
+from ..parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+)
+from .optim import build_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, sample_batch, train_cfg, rng, mesh=None):
+    variables = model.init(
+        {"params": rng, "dropout": rng, "shuffle": rng},
+        sample_batch, deterministic=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+    tx, schedule = build_optimizer(params, train_cfg)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        state = jax.device_put(state, rep)
+    return state, schedule
+
+
+def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
+    """loss_fn(preds, batch) -> dict with 'total'."""
+
+    def step(state: TrainState, batch, rng):
+        drng, srng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def compute(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, deterministic=False,
+                rngs={"dropout": drng, "shuffle": srng},
+                mutable=["batch_stats"])
+            losses = loss_fn(preds, batch)
+            return losses["total"], (losses, mutated)
+
+        (_, (losses, mutated)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads=grads, batch_stats=mutated["batch_stats"])
+        return new_state, {k: v for k, v in losses.items()}
+
+    if mesh is not None:
+        in_shardings = (replicated_sharding(mesh), batch_sharding(mesh), None)
+        out_shardings = (replicated_sharding(mesh), None)
+        return jax.jit(step, in_shardings=in_shardings,
+                       out_shardings=out_shardings,
+                       donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn: Callable, mesh=None):
+    def step(state: TrainState, batch):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, deterministic=True)
+        return loss_fn(preds, batch)
+
+    if mesh is not None:
+        return jax.jit(step, in_shardings=(
+            replicated_sharding(mesh), batch_sharding(mesh)))
+    return jax.jit(step)
+
+
+class RunningMeter:
+    """EMA meter, smooth=0.99 (reference train/utils/logger.py:68-94)."""
+
+    def __init__(self, name, smooth=0.99):
+        self.name = name
+        self.smooth = smooth
+        self.val = None
+
+    def __call__(self, value):
+        value = float(value)
+        self.val = value if self.val is None else (
+            self.val * self.smooth + value * (1 - self.smooth))
+        return self.val
