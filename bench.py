@@ -22,6 +22,16 @@ BASELINE_SAMPLES_PER_SEC = 150000 * 8 / (14 * 3600)  # 23.81 (1x A100)
 
 def main():
     import jax
+    # persistent compile cache: the release-config train step is a large XLA
+    # program; cache it across processes so repeat runs start in seconds.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     from __graft_entry__ import RELEASE_PTV3, RELEASE_ACT, LOSS_CFG, _fake_batch
     from robot3dlotus_tpu.models.simple_policy import (
         SimplePolicyTPU, compute_loss,
@@ -30,7 +40,7 @@ def main():
         create_train_state, make_train_step,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     N = int(os.environ.get("BENCH_POINTS", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
 

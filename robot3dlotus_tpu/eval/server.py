@@ -1,0 +1,173 @@
+"""Producer/consumer closed-loop evaluation server.
+
+Reference topology (evaluation/eval_simple_policy_server.py:230-291): N
+producer processes each own an RLBench/CoppeliaSim instance and roll episodes;
+ONE consumer process owns the accelerator and serves policy queries through
+queues. Completed taskvars (already in results.jsonl) are skipped; per-taskvar
+success rates are appended under a file lock.
+
+This module keeps the host topology identical (multiprocessing spawn +
+queues); the consumer's policy is the jitted TPU Actioner. RLBench itself is
+an optional host dependency: when the simulator stack is unavailable the
+producers can run a `ReplayEnv` (recorded observations) so the full
+server/queue/result machinery is testable anywhere.
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import queue as queue_mod
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .common import write_to_file
+
+
+def consumer_fn(actioner_builder, batch_queue, result_queues, stop_token="STOP"):
+    """Owns the accelerator; answers policy queries
+    (reference eval_simple_policy_server.py:59-74)."""
+    actioner = actioner_builder()
+    while True:
+        item = batch_queue.get()
+        if item == stop_token:
+            break
+        k, payload = item
+        try:
+            out = actioner.predict(**payload)
+        except Exception as e:  # fail the episode, not the run
+            out = {"action": np.zeros(8, np.float32), "error": str(e)}
+        result_queues[k].put(out)
+
+
+def load_done_taskvars(result_file) -> set:
+    done = set()
+    if os.path.exists(result_file):
+        with open(result_file) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done.add(f"{rec['task']}+{rec['variation']}")
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    return done
+
+
+def producer_fn(
+    proc_id, taskvars, env_builder, batch_queue, result_queue, result_file,
+    num_demos=20, max_steps=25, seed=100,
+):
+    """Owns one simulator; rolls episodes and queries the consumer
+    (reference eval_simple_policy_server.py:76-227)."""
+    env = env_builder()
+    for taskvar in taskvars:
+        task_str, variation = taskvar.split("+")
+        success = 0
+        for demo_id in range(num_demos):
+            try:
+                obs = env.reset(task_str, int(variation), demo_id, seed=seed)
+            except Exception:
+                continue
+            reward = 0.0
+            for step_id in range(max_steps):
+                batch_queue.put((proc_id, {
+                    "task_str": task_str, "variation": variation,
+                    "step_id": step_id, "obs_state_dict": obs,
+                    "episode_id": demo_id,
+                    "instructions": env.instructions(taskvar),
+                }))
+                out = result_queue.get()
+                try:
+                    obs, reward, done = env.step(out["action"])
+                except Exception:
+                    reward, done = 0.0, True
+                if done or reward == 1:
+                    break
+            success += int(reward == 1)
+        write_to_file(result_file, {
+            "checkpoint": None, "task": task_str, "variation": int(variation),
+            "num_demos": num_demos, "sr": success / max(num_demos, 1),
+        })
+    env.close()
+
+
+def run_eval_server(
+    taskvars: List[str], actioner_builder: Callable, env_builder: Callable,
+    result_file: str, num_workers=4, num_demos=20, max_steps=25, seed=100,
+):
+    """Reference main (eval_simple_policy_server.py:230-291)."""
+    os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
+    done = load_done_taskvars(result_file)
+    todo = [tv for tv in taskvars if tv not in done]
+    if not todo:
+        return
+
+    ctx = mp.get_context("spawn")
+    batch_queue = ctx.Queue()
+    result_queues = [ctx.Queue() for _ in range(num_workers)]
+    consumer = ctx.Process(
+        target=consumer_fn,
+        args=(actioner_builder, batch_queue, result_queues))
+    consumer.start()
+
+    shards = [todo[i::num_workers] for i in range(num_workers)]
+    producers = []
+    for i, shard in enumerate(shards):
+        if not shard:
+            continue
+        p = ctx.Process(target=producer_fn, args=(
+            i, shard, env_builder, batch_queue, result_queues[i],
+            result_file, num_demos, max_steps, seed))
+        p.start()
+        producers.append(p)
+    for p in producers:
+        p.join()
+    batch_queue.put("STOP")
+    consumer.join()
+
+
+class ReplayEnv:
+    """Simulator stand-in: replays recorded episodes from a Store; an action
+    within 5 cm + correct gripper of the recorded keystep pose 'succeeds'.
+    Lets the whole server stack run without CoppeliaSim."""
+
+    def __init__(self, store, taskvar_instructions=None):
+        self.store = store
+        self.taskvar_instructions = taskvar_instructions or {}
+        self._ep = None
+        self._step = 0
+
+    def instructions(self, taskvar):
+        return self.taskvar_instructions.get(taskvar, ["do the task"])
+
+    def reset(self, task_str, variation, demo_id, seed=100):
+        taskvar = f"{task_str}+{variation}"
+        eps = self.store.episodes(taskvar)
+        self._ep = self.store.get(taskvar, eps[demo_id % len(eps)])
+        self._step = 0
+        return self._obs()
+
+    def _obs(self):
+        t = self._step
+        ep = self._ep
+        xyz = np.asarray(ep["xyz"][t], np.float32)
+        rgb_f = np.asarray(ep["rgb"][t], np.float32)
+        arm = ({k: np.asarray(v[t]) for k, v in ep["bbox_info"].items()},
+               {k: np.asarray(v[t]) for k, v in ep["pose_info"].items()})
+        return {
+            "rgb": [rgb_f], "pc": [xyz], "gripper": ep["action"][t],
+            "arm_links_info": arm,
+        }
+
+    def step(self, action):
+        tgt = self._ep["action"][self._step + 1]
+        pos_ok = np.linalg.norm(action[:3] - tgt[:3]) < 0.05
+        open_ok = (action[-1] > 0.5) == (tgt[-1] > 0.5)
+        self._step += 1
+        done = self._step >= len(self._ep["xyz"]) - 1
+        reward = float(pos_ok and open_ok and done)
+        return (self._obs() if not done else None), reward, done
+
+    def close(self):
+        pass

@@ -1,0 +1,86 @@
+"""Challenge-style HTTP serving (reference challenges/server.py:17-45,
+challenges/client.py:21-128, challenges/actioner.py:10-107).
+
+Same wire contract as the reference: POST /predict with a msgpack-encoded
+dict {taskvar, episode_id, step_id, instruction, obs_state_dict}; response is
+a msgpack-encoded {action}. Flask is replaced by stdlib http.server (no
+external deps); numpy arrays ride the msgpack extension from datasets.store.
+"""
+from __future__ import annotations
+
+import http.server
+import threading
+from typing import Callable, Dict
+
+import numpy as np
+
+from ..train.datasets.store import _pack_np, _unpack_np
+
+
+class RandomActioner:
+    """No-model stand-in exercising the wire format
+    (reference challenges/actioner.py:10-29)."""
+
+    def predict(self, taskvar=None, episode_id=None, step_id=None,
+                instruction=None, obs_state_dict=None, **kw):
+        action = np.random.randn(8).astype(np.float32)
+        action[3:7] /= np.linalg.norm(action[3:7])
+        action[7] = float(action[7] > 0)
+        return {"action": action}
+
+
+class PolicyHTTPServer:
+    """Serves any actioner with .predict(**payload) over POST /predict."""
+
+    def __init__(self, actioner, host="127.0.0.1", port=13000):
+        self.actioner = actioner
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                if self.path != "/predict":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                payload = _unpack_np(self.rfile.read(length))
+                out = outer.actioner.predict(**payload)
+                body = _pack_np(out)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/msgpack")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = host, self.httpd.server_address[1]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()
+
+
+class PolicyHTTPClient:
+    """reference challenges/client.py:21-128 (requests + msgpack)."""
+
+    def __init__(self, url="http://127.0.0.1:13000"):
+        import requests
+        self._requests = requests
+        self.url = url.rstrip("/")
+
+    def predict(self, **payload) -> Dict:
+        resp = self._requests.post(
+            self.url + "/predict", data=_pack_np(payload),
+            headers={"Content-Type": "application/msgpack"})
+        resp.raise_for_status()
+        return _unpack_np(resp.content)

@@ -1,0 +1,85 @@
+"""Voxel-grid downsampling with trace + workspace filtering, open3d-free.
+
+Reference uses o3d voxel_down_sample_and_trace (utils/point_cloud.py:8-17,
+eval_simple_policy.py:169-176): output point = mean of member points per
+occupied voxel; attributes (rgb/sem) taken from the first traced member.
+
+Host numpy implementation (preprocessing runs on host); a jnp variant serves
+fused on-device eval preprocessing.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def voxelize_pcd_np(xyz, voxel_size=0.01, attrs=None):
+    """xyz: (N, 3). Returns (vox_xyz (M,3) means, first_idx (M,) int64).
+
+    Output voxels are ordered by their (x,y,z) grid key (np.unique order);
+    the reference's o3d ordering is unspecified, and downstream random
+    sampling makes the order immaterial.
+    """
+    if len(xyz) == 0:
+        return xyz, np.zeros(0, np.int64)
+    origin = xyz.min(0)
+    grid = np.floor((xyz - origin) / voxel_size).astype(np.int64)
+    _, inv, counts = np.unique(grid, axis=0, return_inverse=True,
+                               return_counts=True)
+    M = counts.shape[0]
+    sums = np.zeros((M, 3), np.float64)
+    np.add.at(sums, inv, xyz)
+    means = (sums / counts[:, None]).astype(xyz.dtype)
+    first = np.full(M, len(xyz), np.int64)
+    np.minimum.at(first, inv, np.arange(len(xyz)))
+    return means, first
+
+
+def workspace_mask_np(xyz, workspace, rm_table=True):
+    """Reference eval_simple_policy.py:156-160."""
+    m = (
+        (xyz[:, 0] > workspace["X_BBOX"][0])
+        & (xyz[:, 0] < workspace["X_BBOX"][1])
+        & (xyz[:, 1] > workspace["Y_BBOX"][0])
+        & (xyz[:, 1] < workspace["Y_BBOX"][1])
+        & (xyz[:, 2] > workspace["Z_BBOX"][0])
+        & (xyz[:, 2] < workspace["Z_BBOX"][1])
+    )
+    if rm_table:
+        m = m & (xyz[:, 2] > workspace["TABLE_HEIGHT"])
+    return m
+
+
+def voxelize_fixed_jnp(xyz, mask, voxel_size, capacity, depth=10):
+    """Static-shape device voxelization: returns (vox_xyz (C,3), vox_mask (C,),
+    first_idx (C,)) for <= `capacity` occupied voxels (sorted by z-order of
+    the grid key; overflow dropped). Suitable for fused on-device eval
+    preprocessing."""
+    from .serialization import z_order_encode
+
+    big = jnp.float32(1e9)
+    origin = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    gc = jnp.clip(jnp.floor((xyz - origin) / voxel_size).astype(jnp.int32),
+                  0, (1 << depth) - 1)
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    codes = jnp.where(mask, z_order_encode(gc, depth), sentinel)
+    order = jnp.argsort(codes)
+    codes_sorted = codes[order]
+    n = xyz.shape[0]
+    prev = jnp.concatenate([jnp.full((1,), -1, codes.dtype),
+                            codes_sorted[:-1]])
+    valid_sorted = codes_sorted != sentinel
+    head = (codes_sorted != prev) & valid_sorted
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_sorted & (seg < capacity), seg, capacity)
+
+    xyz_sorted = xyz[order]
+    sums = jnp.zeros((capacity + 1, 3), jnp.float32).at[seg].add(xyz_sorted)
+    cnts = jnp.zeros((capacity + 1,), jnp.float32).at[seg].add(1.0)
+    means = sums[:capacity] / jnp.maximum(cnts[:capacity, None], 1.0)
+
+    first = jnp.full((capacity + 1,), n, jnp.int32).at[seg].min(
+        order.astype(jnp.int32))
+    nseg = jnp.sum(head.astype(jnp.int32))
+    vmask = jnp.arange(capacity) < jnp.minimum(nseg, capacity)
+    return means, vmask, jnp.clip(first[:capacity], 0, n - 1)
