@@ -180,6 +180,37 @@ class SyntheticStore:
         }
 
 
+class SyntheticMotionStore(SyntheticStore):
+    """Synthetic episodes with the motion_keysteps_bbox_pcd layout
+    (xyz/rgb/sem/trajs/ee_pose/is_new_keystep)."""
+
+    def get(self, taskvar, episode):
+        rec = super().get(taskvar, episode)
+        tvi = self._tv.index(taskvar)
+        epi = self._eps.index(episode)
+        rng = np.random.RandomState(self.seed * 7919 + tvi * 131 + epi + 17)
+        T = self.steps
+        rec["sem"] = [rng.randint(0, 100, (len(x),)).astype(np.int32)
+                      for x in rec["xyz"]]
+        rec["ee_pose"] = rec["action"][:T]
+        trajs = []
+        for t in range(T):
+            L = rng.randint(1, 6)
+            q = rng.randn(L, 4)
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            trajs.append(np.concatenate([
+                rng.uniform([-0.1, -0.3, 0.76], [0.5, 0.3, 1.1], (L, 3)),
+                q, rng.randint(0, 2, (L, 1)).astype(np.float64),
+            ], 1).astype(np.float32))
+        rec["trajs"] = trajs
+        new_ks = np.zeros(T, bool)
+        new_ks[0] = True
+        if T > 2:
+            new_ks[T // 2] = True
+        rec["is_new_keystep"] = new_ks
+        return rec
+
+
 def open_store(path_or_kind):
     """'synthetic' | a directory of LMDB envs | a MsgpackDirStore root."""
     if path_or_kind == "synthetic":

@@ -1,0 +1,105 @@
+"""End-to-end data pipeline tests: synthetic store -> dataset -> collate ->
+model forward/loss for both the keystep policy and the motion planner."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from robot3dlotus_tpu.train.datasets.store import (
+    SyntheticStore, SyntheticMotionStore, MsgpackDirStore,
+)
+from robot3dlotus_tpu.train.datasets.keystep_dataset import KeystepDataset
+from robot3dlotus_tpu.train.datasets.motion_dataset import (
+    MotionPlannerDataset, collate_motion_samples,
+)
+from robot3dlotus_tpu.train.datasets.collate import collate_keystep_samples
+from tests.test_policy import PTV3_CFG, ACT_CFG, LOSS_CFG
+
+
+def test_keystep_dataset_and_collate():
+    store = SyntheticStore(num_taskvars=2, episodes_per_taskvar=2,
+                           points_per_step=3000)
+    ds = KeystepDataset(store, num_points=1024, pos_bins=10,
+                        rng=np.random.RandomState(0))
+    assert len(ds) == 4
+    samples = ds[0]
+    assert len(samples) >= 1
+    s = samples[0]
+    assert s["pc_fts"].shape[-1] == 7  # xyz+rgb+height
+    assert s["pc_fts"].shape[0] <= 1024
+    assert s["gt_actions"].shape == (7,)  # pos3 + disc euler3 + open
+    assert 0 <= s["gt_actions"][3:6].min() and s["gt_actions"][3:6].max() < 72
+    probs = s["disc_pos_probs"]
+    assert probs.shape == (3, s["pc_fts"].shape[0] * 20)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    batch = collate_keystep_samples(samples, num_points=1024, pos_bins=10,
+                                    num_clouds=4)
+    assert batch["pc_fts"].shape == (4, 1024, 7)
+    assert batch["disc_pos_probs"].shape == (4, 3, 1024 * 20)
+    # padded candidates carry no target mass
+    nb = 20
+    pp = batch["disc_pos_probs"].reshape(4, 3, 1024, nb)
+    for i in range(4):
+        n = batch["pc_counts"][i]
+        assert pp[i, :, n:].sum() == 0
+
+
+def test_msgpack_store_roundtrip(tmp_path):
+    syn = SyntheticStore(num_taskvars=1, episodes_per_taskvar=1,
+                         steps_per_episode=2, points_per_step=500)
+    rec = syn.get(syn.taskvars()[0], "episode0")
+    store = MsgpackDirStore(str(tmp_path))
+    store.put("task+0", "episode0", rec)
+    rec2 = store.get("task+0", "episode0")
+    np.testing.assert_allclose(rec2["action"], rec["action"])
+    np.testing.assert_allclose(rec2["xyz"][0], rec["xyz"][0])
+    assert store.taskvars() == ["task+0"]
+
+
+def test_motion_dataset_and_model():
+    from robot3dlotus_tpu.models.motion_planner import (
+        MotionPlannerTPU, compute_mp_loss, decode_mp_actions,
+    )
+    store = SyntheticMotionStore(num_taskvars=1, episodes_per_taskvar=2,
+                                 points_per_step=2000)
+    ds = MotionPlannerDataset(
+        store, num_points=256, pos_bins=5, max_traj_len=3,
+        use_color=False, use_height=True,
+        rng=np.random.RandomState(0))
+    samples = ds[0] + ds[1]
+    assert len(samples) >= 2
+    s = samples[0]
+    assert s["pc_fts"].shape[-1] == 4  # xyz + height
+    assert set(np.unique(s["pc_labels"])) <= {0, 1, 2, 3}
+    batch_np = collate_motion_samples(
+        samples, num_points=256, max_traj_len=3, pos_bins=5, num_clouds=2)
+    assert batch_np["gt_trajs"].shape == (2, 3, 7)
+    assert batch_np["disc_pos_probs"].shape == (2, 3, 3, 256 * 10)
+
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray)}
+    ptv3 = dict(PTV3_CFG, in_channels=4)
+    act = dict(ACT_CFG, pos_bins=5, max_traj_len=3, traj_embed_size=8,
+               pc_label_channels=4, txt_reduce="attn")
+    model = MotionPlannerTPU(ptv3_cfg=ptv3, act_cfg=act, variant="ca")
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key, "shuffle": key},
+                           batch, deterministic=True)
+
+    def loss_fn(params):
+        preds, mutated = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, deterministic=False,
+            rngs={"dropout": key, "shuffle": key}, mutable=["batch_stats"])
+        return compute_mp_loss(preds, batch, act, LOSS_CFG)["total"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+    preds = model.apply(variables, batch, deterministic=True)
+    acts = decode_mp_actions(preds, act)
+    assert acts.shape == (2, 3, 9)  # pos3 + quat4 + open + stop
+    assert np.isfinite(np.asarray(acts)).all()
