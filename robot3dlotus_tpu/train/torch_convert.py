@@ -1,0 +1,276 @@
+"""Checkpoint conversion between the reference PyTorch layout
+(`model_step_{N}.pt` flat state_dict, reference train/utils/save.py:20-45)
+and this framework's flax variables ({params, batch_stats}).
+
+Name correspondence (torch module path -> flax tree path) follows the
+construction order of the reference models (simple_policy_ptv3.py:376-431,
+model_ca.py:155-412) and this framework's module names. Torch tensors are
+read/written via `torch` (CPU) when available, else raw numpy .npz twins.
+
+Layout conventions:
+  * nn.Linear.weight (out, in)     <-> Dense kernel (in, out): transpose
+  * nn.Embedding.weight            <-> Embed embedding: identical
+  * LayerNorm/BatchNorm weight/bias <-> scale/bias
+  * spconv.SubMConv3d.weight (out, kx, ky, kz, in)
+        <-> SubMConv weight (K, in, out) with K enumerated in
+        stencil_offsets order (x-major ascending). spconv's native layout is
+        documented as (out, *kernel_size, in); if a checkpoint uses the
+        transposed variant, pass spconv_layout='k_in_out'.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# name mapping
+# --------------------------------------------------------------------------
+
+def _ln(flax_prefix, torch_prefix):
+    return {
+        f"{torch_prefix}.weight": (f"{flax_prefix}/scale", "copy"),
+        f"{torch_prefix}.bias": (f"{flax_prefix}/bias", "copy"),
+    }
+
+
+def _bn(flax_prefix, torch_prefix):
+    m = _ln(flax_prefix, torch_prefix)
+    m[f"{torch_prefix}.running_mean"] = (f"BS:{flax_prefix}/mean", "copy")
+    m[f"{torch_prefix}.running_var"] = (f"BS:{flax_prefix}/var", "copy")
+    return m
+
+
+def _dense(flax_prefix, torch_prefix, bias=True):
+    m = {f"{torch_prefix}.weight": (f"{flax_prefix}/kernel", "t")}
+    if bias:
+        m[f"{torch_prefix}.bias"] = (f"{flax_prefix}/bias", "copy")
+    return m
+
+
+def _conv(flax_prefix, torch_prefix, bias=True):
+    m = {f"{torch_prefix}.weight": (f"{flax_prefix}/weight", "spconv")}
+    if bias:
+        m[f"{torch_prefix}.bias"] = (f"{flax_prefix}/bias", "copy")
+    return m
+
+
+def _block_map(flax_p, torch_p, qk_norm=True):
+    m = {}
+    m.update(_conv(f"{flax_p}/cpe_conv", f"{torch_p}.cpe.0"))
+    m.update(_dense(f"{flax_p}/cpe_fc", f"{torch_p}.cpe.1"))
+    m.update(_ln(f"{flax_p}/cpe_norm", f"{torch_p}.cpe.2"))
+    m.update(_ln(f"{flax_p}/norm1/norm", f"{torch_p}.norm1.0"))
+    m.update(_ln(f"{flax_p}/norm2/norm", f"{torch_p}.norm2.0"))
+    m.update(_dense(f"{flax_p}/attn/qkv", f"{torch_p}.attn.qkv"))
+    m.update(_dense(f"{flax_p}/attn/proj", f"{torch_p}.attn.proj"))
+    if qk_norm:
+        m.update(_ln(f"{flax_p}/attn/q_norm", f"{torch_p}.attn.q_norm"))
+        m.update(_ln(f"{flax_p}/attn/k_norm", f"{torch_p}.attn.k_norm"))
+    m.update(_dense(f"{flax_p}/mlp/fc1", f"{torch_p}.mlp.0.fc1"))
+    m.update(_dense(f"{flax_p}/mlp/fc2", f"{torch_p}.mlp.0.fc2"))
+    return m
+
+
+def _ca_block_map(flax_p, torch_p, qk_norm=True):
+    m = {}
+    m.update(_ln(f"{flax_p}/norm1/norm", f"{torch_p}.norm1.0"))
+    m.update(_ln(f"{flax_p}/norm2/norm", f"{torch_p}.norm2.0"))
+    m.update(_dense(f"{flax_p}/attn/q", f"{torch_p}.attn.q"))
+    m.update(_dense(f"{flax_p}/attn/kv", f"{torch_p}.attn.kv"))
+    m.update(_dense(f"{flax_p}/attn/proj", f"{torch_p}.attn.proj"))
+    if qk_norm:
+        m.update(_ln(f"{flax_p}/attn/q_norm", f"{torch_p}.attn.q_norm"))
+        m.update(_ln(f"{flax_p}/attn/k_norm", f"{torch_p}.attn.k_norm"))
+    m.update(_dense(f"{flax_p}/mlp/fc1", f"{torch_p}.mlp.0.fc1"))
+    m.update(_dense(f"{flax_p}/mlp/fc2", f"{torch_p}.mlp.0.fc2"))
+    return m
+
+
+def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
+    """torch name -> (flax path, transform). Flax paths are '/'-joined under
+    params; 'BS:' prefix marks batch_stats entries."""
+    ptv3 = model_cfg["ptv3_config"]
+    act = model_cfg["action_config"]
+    cls = model_cfg["model_class"]
+    use_ca = cls.endswith("CA")
+    qk_norm = bool(ptv3.get("qk_norm", False))
+    enc_depths = list(ptv3["enc_depths"])
+    dec_depths = list(ptv3["dec_depths"])
+    num_stages = len(enc_depths)
+
+    m = {}
+    m.update(_dense("txt_fc", "txt_fc"))
+    if act.get("txt_reduce") == "attn" and not use_ca:
+        m.update(_dense("txt_attn_fc", "txt_attn_fc"))
+    if act.get("use_ee_pose"):
+        p = "pose_embedding"
+        m.update(_dense(f"{p}/pos_embedding", f"{p}.pos_embedding"))
+        m.update(_dense(f"{p}/rot_embedding", f"{p}.rot_embedding"))
+        m[f"{p}.open_embedding.weight"] = (
+            f"{p}/open_embedding/embedding", "copy")
+        m.update(_ln(f"{p}/layer_norm", f"{p}.layer_norm"))
+    if act.get("use_step_id"):
+        m["stepid_embedding.weight"] = ("stepid_embedding/embedding", "copy")
+    if cls.startswith("MotionPlanner"):
+        m["pc_label_embedding.weight"] = (
+            "pc_label_embedding/embedding", "copy")
+
+    # backbone
+    bp = "ptv3_model"
+    m.update(_conv(f"{bp}/embedding_stem_conv", f"{bp}.embedding.stem.conv",
+                   bias=False))
+    m.update(_bn(f"{bp}/embedding_norm/norm", f"{bp}.embedding.stem.norm"))
+    for s in range(num_stages):
+        if s > 0:
+            m.update(_dense(f"{bp}/enc{s}_down/proj",
+                            f"{bp}.enc.enc{s}.down.proj"))
+            m.update(_bn(f"{bp}/enc{s}_down/norm/norm",
+                         f"{bp}.enc.enc{s}.down.norm.0"))
+        for i in range(enc_depths[s]):
+            m.update(_block_map(f"{bp}/enc{s}_block{i}",
+                                f"{bp}.enc.enc{s}.block{i}", qk_norm))
+            if use_ca:
+                m.update(_ca_block_map(f"{bp}/enc{s}_cablock{i}",
+                                       f"{bp}.enc.enc{s}.ca_block{i}",
+                                       qk_norm))
+    for s in range(num_stages - 1):
+        up_f, up_t = f"{bp}/dec{s}_up", f"{bp}.dec.dec{s}.up"
+        m.update(_dense(f"{up_f}/proj_fc", f"{up_t}.proj.0"))
+        m.update(_bn(f"{up_f}/proj_norm/norm", f"{up_t}.proj.1"))
+        m.update(_dense(f"{up_f}/proj_skip_fc", f"{up_t}.proj_skip.0"))
+        m.update(_bn(f"{up_f}/proj_skip_norm/norm", f"{up_t}.proj_skip.1"))
+        for i in range(dec_depths[s]):
+            m.update(_block_map(f"{bp}/dec{s}_block{i}",
+                                f"{bp}.dec.dec{s}.block{i}", qk_norm))
+            if use_ca:
+                m.update(_ca_block_map(f"{bp}/dec{s}_cablock{i}",
+                                       f"{bp}.dec.dec{s}.ca_block{i}",
+                                       qk_norm))
+
+    # head
+    hp, ht = "act_proj_head", "act_proj_head"
+    m.update(_dense(f"{hp}/heatmap_mlp_fc1", f"{ht}.heatmap_mlp.0"))
+    m.update(_dense(f"{hp}/heatmap_mlp_fc2", f"{ht}.heatmap_mlp.3"))
+    m.update(_dense(f"{hp}/action_mlp_fc1", f"{ht}.action_mlp.0"))
+    m.update(_dense(f"{hp}/action_mlp_fc2", f"{ht}.action_mlp.3"))
+    if cls.startswith("MotionPlanner") and act.get("traj_embed_size", 0) > 0:
+        m[f"{ht}.traj_embedding.weight"] = (
+            f"{hp}/traj_embedding/embedding", "copy")
+    return m
+
+
+# --------------------------------------------------------------------------
+# tree <-> flat helpers
+# --------------------------------------------------------------------------
+
+def flatten_tree(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def unflatten_tree(flat):
+    root = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return root
+
+
+def _spconv_to_flax(w, layout="out_k_in"):
+    w = np.asarray(w)
+    if layout == "out_k_in":  # (out, kx, ky, kz, in) -> (K, in, out)
+        out_c, kx, ky, kz, in_c = w.shape
+        return w.reshape(out_c, kx * ky * kz, in_c).transpose(1, 2, 0)
+    if layout == "k_in_out":  # already (kx, ky, kz, in, out)
+        kx, ky, kz, in_c, out_c = w.shape
+        return w.reshape(kx * ky * kz, in_c, out_c)
+    raise ValueError(layout)
+
+
+def _flax_to_spconv(w, kernel_size, layout="out_k_in"):
+    w = np.asarray(w)  # (K, in, out)
+    K, in_c, out_c = w.shape
+    k = kernel_size
+    if layout == "out_k_in":
+        return w.transpose(2, 0, 1).reshape(out_c, k, k, k, in_c)
+    return w.reshape(k, k, k, in_c, out_c)
+
+
+def torch_to_flax(state_dict, model_cfg, spconv_layout="out_k_in"):
+    """Flat torch state_dict {name: np/torch tensor} -> (params, batch_stats)
+    flat dicts keyed by '/'-joined paths."""
+    name_map = build_name_map(model_cfg)
+    params, batch_stats = {}, {}
+    missing, unexpected = [], []
+    for tname, (fpath, tf) in name_map.items():
+        if tname not in state_dict:
+            missing.append(tname)
+            continue
+        w = state_dict[tname]
+        w = w.numpy() if hasattr(w, "numpy") else np.asarray(w)
+        if tf == "t":
+            w = w.T
+        elif tf == "spconv":
+            w = _spconv_to_flax(w, spconv_layout)
+        if fpath.startswith("BS:"):
+            batch_stats[fpath[3:]] = w
+        else:
+            params[fpath] = w
+    mapped = set(name_map.keys())
+    for k in state_dict:
+        if k not in mapped and "num_batches_tracked" not in k:
+            unexpected.append(k)
+    return (unflatten_tree(params), unflatten_tree(batch_stats),
+            missing, unexpected)
+
+
+def flax_to_torch(params, batch_stats, model_cfg, spconv_layout="out_k_in"):
+    """-> flat dict of numpy arrays with reference torch names."""
+    name_map = build_name_map(model_cfg)
+    flat_p = flatten_tree(params)
+    flat_b = flatten_tree(batch_stats)
+    out = {}
+    kernel_sizes = {"embedding_stem_conv": 5}
+    for tname, (fpath, tf) in name_map.items():
+        if fpath.startswith("BS:"):
+            src = flat_b.get(fpath[3:])
+        else:
+            src = flat_p.get(fpath)
+        if src is None:
+            continue
+        w = np.asarray(src)
+        if tf == "t":
+            w = w.T
+        elif tf == "spconv":
+            k = 5 if "stem" in fpath else 3
+            w = _flax_to_spconv(w, k, spconv_layout)
+        out[tname] = w
+    return out
+
+
+def save_torch_checkpoint(path, params, batch_stats, model_cfg):
+    """Writes a reference-layout .pt when torch is available, else .npz."""
+    state = flax_to_torch(params, batch_stats, model_cfg)
+    try:
+        import torch
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in state.items()}, path)
+    except ImportError:
+        np.savez(path + ".npz", **state)
+
+
+def load_torch_checkpoint(path, model_cfg):
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return torch_to_flax(sd, model_cfg)
