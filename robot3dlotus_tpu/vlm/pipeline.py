@@ -1,0 +1,396 @@
+"""VLM object-grounding pipeline (reference vlm_models/vlm_pipeline.py:50-690).
+
+Flow per observation: OWLv2 objectness boxes -> SAM masks -> box cleaning vs
+workspace/robot/table -> per-box point clouds (dedup + 1 cm voxel) -> DBSCAN
+split of multi-object boxes -> multi-view merging by min-pair chamfer
+distance + OWLv2 embedding cosine -> robot/obstacle separation.
+
+All geometry/merging logic is numpy + the framework's chamfer/voxel ops (the
+reference used a CUDA chamferdist fork and open3d); the two HF models are
+injected and lazily loaded.
+"""
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ops.chamfer import min_pair_distance_np
+from ..ops.voxel import voxelize_pcd_np
+from ..utils.robot_box import RobotBox
+from .configs import VLMRLBenchConfig, VLMRealConfig
+from .owlv2_detector import Owlv2ObjectDetector
+from .sam_segmentor import SAMSegmentor
+
+
+@dataclass
+class ObjectInfo:
+    view_ids: list = field(default_factory=list)
+    obj_ids: list = field(default_factory=list)
+    boxes: list = field(default_factory=list)
+    masks: list = field(default_factory=list)
+    image_class_embeds: Optional[np.ndarray] = None  # (k, dim)
+    objectness_scores: Optional[np.ndarray] = None   # (k,)
+    pcd_xyz: Optional[np.ndarray] = None
+    pcd_rgb: Optional[np.ndarray] = None
+    captions: list = field(default_factory=list)
+
+
+def weighted_average_embeds(embeds, scores, keepdim=False):
+    w = np.asarray(scores, np.float64)
+    w = w / max(w.sum(), 1e-9)
+    out = (np.asarray(embeds, np.float64) * w[:, None]).sum(0)
+    return out[None] if keepdim else out
+
+
+def _normalize(v):
+    return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
+
+
+def _dedup_points(xyz, rgb=None):
+    if len(xyz) == 0:
+        return xyz, rgb
+    _, idx = np.unique(np.round(np.asarray(xyz, np.float64), 8), axis=0,
+                       return_index=True)
+    idx = np.sort(idx)
+    return xyz[idx], (rgb[idx] if rgb is not None else None)
+
+
+def remove_statistical_outliers_np(xyz, nb_neighbors=50, std_ratio=0.2):
+    """kNN mean-distance filter (o3d remove_statistical_outlier equivalent)."""
+    if len(xyz) <= nb_neighbors:
+        return np.ones(len(xyz), bool)
+    from sklearn.neighbors import NearestNeighbors
+    nn = NearestNeighbors(n_neighbors=nb_neighbors + 1).fit(xyz)
+    d, _ = nn.kneighbors(xyz)
+    mean_d = d[:, 1:].mean(1)
+    mu, sigma = mean_d.mean(), mean_d.std()
+    return mean_d <= mu + std_ratio * sigma
+
+
+class VLMPipeline:
+    def __init__(self, det_model="large", sam_model="huge",
+                 env_name="rlbench", det=None, sam=None):
+        self.env_name = env_name
+        self.vlm_config = (VLMRLBenchConfig if env_name == "rlbench"
+                           else VLMRealConfig)
+        self.det_model = det or Owlv2ObjectDetector(det_model)
+        self.sam_model = sam or SAMSegmentor(sam_model)
+        self.reset_cache()
+
+    def reset_cache(self):
+        self.cache = {}
+        self.robot_box = None
+
+    # ------------------------------------------------------------------ #
+    def run(self, rgb_images, pcd_images, arm_links_info):
+        self.reset_cache()
+        self.robot_box = RobotBox(arm_links_info, env_name=self.env_name)
+        rgb_images = np.asarray(rgb_images)
+        h, w = rgb_images.shape[1:3]
+
+        det_image_outputs = self.det_model.encode_images(rgb_images)
+        self.cache["det_image_outputs"] = det_image_outputs
+        det_results = self.det_model.post_process_objectness_detection(
+            det_image_outputs, **self.vlm_config.det_postprocess)
+        self.cache["det_results"] = det_results
+
+        box_resize = max(w, h)
+        input_boxes = [(det_results[k]["boxes"] * box_resize).tolist()
+                       for k in range(len(rgb_images))]
+        sam_results = self.sam_model(rgb_images, input_boxes)
+        self.cache["sam_results"] = sam_results
+
+        cleaned_det, cleaned_sam = self.clean_det_bboxes(
+            det_results, sam_results, pcd_images, self.robot_box)
+        self.cache["cleaned_det_results"] = cleaned_det
+        self.cache["cleaned_sam_results"] = cleaned_sam
+
+        objects = self.merge_multiview_objects(
+            det_image_outputs, cleaned_det, cleaned_sam, rgb_images,
+            pcd_images, self.robot_box)
+        self.cache["objects"] = objects
+        return self.cache
+
+    # ------------------------------------------------------------------ #
+    def clean_object_pcd(self, pcd_xyz, robot_box):
+        """keep points inside the workspace, above the table, outside the
+        robot boxes (reference vlm_pipeline.py:252-329 helper)."""
+        cfg = self.vlm_config
+        if len(pcd_xyz) == 0:
+            return np.zeros(0, bool)
+        m = np.all(pcd_xyz > cfg.workspace[0], -1) & \
+            np.all(pcd_xyz < cfg.workspace[1], -1)
+        m &= pcd_xyz[:, 2] > cfg.table_height + cfg.table_dist_threshold
+        if robot_box is not None:
+            m &= ~robot_box.point_mask(pcd_xyz)
+        return m
+
+    def clean_det_bboxes(self, det_results, sam_results, pcd_images,
+                         robot_box):
+        cfg = self.vlm_config
+        new_det, new_sam = [], []
+        for det_res, sam_res, pcd_img in zip(det_results, sam_results,
+                                             pcd_images):
+            valid = []
+            if sam_res is not None:
+                for k in range(len(det_res["boxes"])):
+                    obj_mask = sam_res["masks"][k][0]
+                    obj_pcd = np.asarray(pcd_img)[obj_mask]
+                    obj_pcd, _ = _dedup_points(obj_pcd)
+                    if self.env_name == "real" and len(obj_pcd):
+                        keep = remove_statistical_outliers_np(
+                            obj_pcd, **cfg.pcd_outlier_removal_config)
+                        obj_pcd = obj_pcd[keep]
+                    if len(obj_pcd) == 0:
+                        continue
+                    inws = np.all(obj_pcd > cfg.workspace[0], -1) & \
+                        np.all(obj_pcd < cfg.workspace[1], -1)
+                    if 1 - inws.mean() > \
+                            cfg.clean_det_config["max_out_workspace_ratio"]:
+                        continue
+                    obj_pcd = obj_pcd[inws]
+                    if len(obj_pcd) == 0:
+                        continue
+                    robot_ratio = robot_box.get_pc_overlap_ratio(xyz=obj_pcd)
+                    if robot_ratio > cfg.clean_det_config["max_robot_ratio"]:
+                        continue
+                    table_ratio = float(
+                        np.mean(obj_pcd[:, 2] < cfg.table_height))
+                    if table_ratio > cfg.clean_det_config["max_table_ratio"]:
+                        continue
+                    if robot_ratio + table_ratio > 0.8:
+                        continue
+                    valid.append(k)
+            valid = np.asarray(valid, np.int64)
+            new_det.append({k: v[valid] for k, v in det_res.items()})
+            new_sam.append(
+                None if len(valid) == 0 else
+                {k: v[valid] for k, v in sam_res.items()})
+        return new_det, new_sam
+
+    # ------------------------------------------------------------------ #
+    def merge_multiview_objects(self, det_image_outputs, det_results,
+                                sam_results, rgb_images, pcd_images,
+                                robot_box):
+        from sklearn.cluster import DBSCAN
+        import collections
+
+        cfg = self.vlm_config
+        all_objects: List[ObjectInfo] = []
+        for view_id, (det_res, sam_res, rgb_img, pcd_img) in enumerate(
+                zip(det_results, sam_results, rgb_images, pcd_images)):
+            if sam_res is None:
+                continue
+            for k, (box, score) in enumerate(
+                    zip(det_res["boxes"], det_res["scores"])):
+                obj = ObjectInfo()
+                obj.view_ids.append(view_id)
+                obj.obj_ids.append(k)
+                obj.boxes.append(np.asarray(box))
+                obj.masks.append(sam_res["masks"][k][0])
+                obj.objectness_scores = np.asarray([score])
+                patch_index = det_res["patch_indexs"][k]
+                obj.image_class_embeds = det_image_outputs[
+                    "image_class_embeds"][view_id][patch_index][None]
+
+                seg = sam_res["masks"][k][0]
+                obj.pcd_xyz = np.asarray(pcd_img)[seg]
+                keep = self.clean_object_pcd(obj.pcd_xyz, robot_box)
+                obj.pcd_xyz = obj.pcd_xyz[keep]
+                obj.pcd_rgb = np.asarray(rgb_img)[seg][keep]
+                obj.pcd_xyz, obj.pcd_rgb = _dedup_points(
+                    obj.pcd_xyz, obj.pcd_rgb)
+                if len(obj.pcd_xyz) == 0:
+                    continue
+                vox_xyz, first = voxelize_pcd_np(obj.pcd_xyz, cfg.voxel_size)
+                obj.pcd_xyz = vox_xyz.astype(np.float32)
+                obj.pcd_rgb = obj.pcd_rgb[first].astype(np.uint8)
+                if self.env_name == "real":
+                    keep = remove_statistical_outliers_np(
+                        obj.pcd_xyz, **cfg.pcd_outlier_removal_config)
+                    obj.pcd_xyz = obj.pcd_xyz[keep]
+                    obj.pcd_rgb = obj.pcd_rgb[keep]
+                if len(obj.pcd_xyz) < max(cfg.dbscan_config["min_samples"],
+                                          2):
+                    continue
+
+                clustering = DBSCAN(
+                    eps=cfg.dbscan_config["eps"],
+                    min_samples=cfg.dbscan_config["min_samples"],
+                ).fit(obj.pcd_xyz)
+                counter = collections.Counter(clustering.labels_)
+                num_clusters = len([l for l in counter if l != -1])
+                if num_clusters > 1:
+                    for label, npts in counter.items():
+                        if label != -1 and npts / len(obj.pcd_xyz) > \
+                                cfg.dbscan_config["min_keep_ratio"]:
+                            part = copy.deepcopy(obj)
+                            pm = clustering.labels_ == label
+                            part.pcd_xyz = obj.pcd_xyz[pm]
+                            part.pcd_rgb = obj.pcd_rgb[pm]
+                            if len(part.pcd_xyz) > cfg.pcd_min_num_points:
+                                all_objects.append(part)
+                elif len(obj.pcd_xyz) > cfg.pcd_min_num_points:
+                    all_objects.append(obj)
+
+        all_objects.sort(key=lambda o: -len(o.pcd_xyz))
+
+        # obstacle = everything outside detected masks
+        obstacle = ObjectInfo(captions=["obstacle"])
+        obstacle.pcd_xyz = np.empty((0, 3), np.float32)
+        obstacle.pcd_rgb = np.empty((0, 3), np.float32)
+        for det_res, sam_res, rgb_img, pcd_img in zip(
+                det_results, sam_results, rgb_images, pcd_images):
+            om = np.ones(np.asarray(rgb_img).shape[:2], bool)
+            if sam_res is not None:
+                for k in range(len(det_res["boxes"])):
+                    om[sam_res["masks"][k][0]] = False
+            if om.sum() > 0:
+                obstacle.pcd_xyz = np.concatenate(
+                    [obstacle.pcd_xyz, np.asarray(pcd_img)[om]], 0)
+                obstacle.pcd_rgb = np.concatenate(
+                    [obstacle.pcd_rgb, np.asarray(rgb_img)[om]], 0)
+        keep = self.clean_object_pcd(obstacle.pcd_xyz, robot_box=None)
+        obstacle.pcd_xyz = obstacle.pcd_xyz[keep]
+        obstacle.pcd_rgb = obstacle.pcd_rgb[keep]
+        if len(obstacle.pcd_xyz):
+            vox, first = voxelize_pcd_np(obstacle.pcd_xyz, cfg.voxel_size)
+            obstacle.pcd_xyz = vox.astype(np.float32)
+            obstacle.pcd_rgb = obstacle.pcd_rgb[first]
+
+        # separate robot points
+        robot = ObjectInfo(captions=["robot"])
+        ridx = np.where(robot_box.point_mask(obstacle.pcd_xyz))[0] \
+            if len(obstacle.pcd_xyz) else np.zeros(0, np.int64)
+        if len(ridx) > 0:
+            robot.pcd_xyz = obstacle.pcd_xyz[ridx]
+            robot.pcd_rgb = obstacle.pcd_rgb[ridx]
+            om = np.ones(len(obstacle.pcd_xyz), bool)
+            om[ridx] = False
+            obstacle.pcd_xyz = obstacle.pcd_xyz[om]
+            obstacle.pcd_rgb = obstacle.pcd_rgb[om]
+
+        merged: List[ObjectInfo] = []
+        if all_objects:
+            # re-attach obstacle fragments to their closest object
+            if self.env_name == "rlbench" and len(obstacle.pcd_xyz) >= \
+                    cfg.dbscan_config["min_samples"]:
+                clustering = DBSCAN(
+                    eps=cfg.dbscan_config["eps"],
+                    min_samples=cfg.dbscan_config["min_samples"],
+                ).fit(obstacle.pcd_xyz)
+                counter = collections.Counter(clustering.labels_)
+                om = np.ones(len(obstacle.pcd_xyz), bool)
+                for label, npts in counter.items():
+                    if label == -1:
+                        continue
+                    pm = clustering.labels_ == label
+                    if pm.mean() < 0.1:
+                        continue
+                    dists = [min_pair_distance_np(obstacle.pcd_xyz[pm],
+                                                  o.pcd_xyz)
+                             for o in all_objects]
+                    best = int(np.argmin(dists))
+                    if dists[best] < \
+                            cfg.merge_obj_config["max_match_pcd_dist"]:
+                        all_objects[best].pcd_xyz = np.concatenate(
+                            [all_objects[best].pcd_xyz,
+                             obstacle.pcd_xyz[pm]], 0)
+                        all_objects[best].pcd_rgb = np.concatenate(
+                            [all_objects[best].pcd_rgb,
+                             obstacle.pcd_rgb[pm]], 0)
+                        om[pm] = False
+                obstacle.pcd_xyz = obstacle.pcd_xyz[om]
+                obstacle.pcd_rgb = obstacle.pcd_rgb[om]
+
+            all_objects.sort(key=lambda o: -len(o.pcd_xyz))
+            merged.append(all_objects[0])
+            for obj in all_objects[1:]:
+                best = None  # (eid, pcd_dist, embed_sim)
+                for eid, ex in enumerate(merged):
+                    if obj.view_ids[0] in ex.view_ids:
+                        continue  # never merge boxes of the same view
+                    pcd_dist = min_pair_distance_np(obj.pcd_xyz, ex.pcd_xyz)
+                    f1 = _normalize(weighted_average_embeds(
+                        ex.image_class_embeds, ex.objectness_scores))
+                    f2 = _normalize(obj.image_class_embeds[0])
+                    embed_sim = float((f1 * f2).sum())
+                    floor = 0.005 if self.env_name == "rlbench" else 0.01
+                    if best is None or (
+                            embed_sim / max(pcd_dist, floor) >
+                            best[2] / max(best[1], floor)):
+                        best = (eid, pcd_dist, embed_sim)
+                mc = cfg.merge_obj_config
+                if best is not None and (
+                        (best[2] > mc["min_match_embed_sim"]
+                         and best[1] < mc["max_match_pcd_dist"])
+                        or (self.env_name == "rlbench" and best[1] < 0.01)):
+                    ex = merged[best[0]]
+                    ex.view_ids.extend(obj.view_ids)
+                    ex.obj_ids.extend(obj.obj_ids)
+                    ex.boxes.extend(obj.boxes)
+                    ex.masks.extend(obj.masks)
+                    ex.captions.extend(obj.captions)
+                    ex.pcd_xyz = np.concatenate([ex.pcd_xyz, obj.pcd_xyz], 0)
+                    ex.pcd_rgb = np.concatenate([ex.pcd_rgb, obj.pcd_rgb], 0)
+                    vox, first = voxelize_pcd_np(ex.pcd_xyz, cfg.voxel_size)
+                    ex.pcd_xyz = vox.astype(np.float32)
+                    ex.pcd_rgb = ex.pcd_rgb[first]
+                    ex.image_class_embeds = np.concatenate(
+                        [ex.image_class_embeds, obj.image_class_embeds], 0)
+                    ex.objectness_scores = np.concatenate(
+                        [ex.objectness_scores, obj.objectness_scores], 0)
+                else:
+                    merged.append(obj)
+
+        if robot.pcd_xyz is not None and \
+                len(robot.pcd_xyz) > cfg.pcd_min_num_points:
+            merged.append(robot)
+        if len(obstacle.pcd_xyz) > cfg.pcd_min_num_points:
+            merged.append(obstacle)
+        return [o for o in merged
+                if len(o.pcd_xyz) > cfg.pcd_min_num_points]
+
+    # ------------------------------------------------------------------ #
+    def ground_object_with_query(self, text, objects=None, return_sims=False):
+        """Text -> best object by OWLv2 text/image embedding cosine
+        (reference vlm_pipeline.py:169-216)."""
+        objects = objects if objects is not None else self.cache["objects"]
+        query = _normalize(
+            self.det_model.encode_texts([text])["text_embeds"][0])
+        sims, cand_ids = [], []
+        for i, obj in enumerate(objects):
+            if obj.image_class_embeds is None:
+                continue
+            emb = _normalize(weighted_average_embeds(
+                obj.image_class_embeds, obj.objectness_scores))
+            sims.append(float((query * emb).sum()))
+            cand_ids.append(i)
+        if not sims:
+            out = (None, None)
+        else:
+            best = cand_ids[int(np.argmax(sims))]
+            out = (best, objects[best])
+        if return_sims:
+            return out + (sims,)
+        return out
+
+    def classify_objects_with_queries(self, texts, objects=None,
+                                      add_robot_obstacle=True):
+        objects = objects if objects is not None else self.cache["objects"]
+        query = _normalize(
+            self.det_model.encode_texts(texts)["text_embeds"])
+        labels = []
+        for obj in objects:
+            if obj.captions and obj.captions[0] in ("robot", "obstacle"):
+                if add_robot_obstacle:
+                    labels.append(obj.captions[0])
+                continue
+            emb = _normalize(weighted_average_embeds(
+                obj.image_class_embeds, obj.objectness_scores))
+            sims = query @ emb
+            labels.append(texts[int(np.argmax(sims))])
+        return labels
