@@ -180,7 +180,8 @@ class PointTransformerV3TPU(nn.Module):
         for s in range(num_stages):
             if s > 0:
                 cur, record = self._pool(
-                    s, cur, caps[s], context_vec, deterministic)
+                    s, cur, caps[s], context_vec, deterministic,
+                    prev_aux=stage_state[-1]["aux"])
                 pool_records.append(record)
             aux = self._make_aux(
                 cur["codes"], cur["counts"], cur["cap"],
@@ -259,10 +260,15 @@ class PointTransformerV3TPU(nn.Module):
                         outputs.append(self._pack(cur))
         return outputs
 
-    def _pool(self, s, cur, child_cap, context_vec, deterministic):
+    def _pool(self, s, cur, child_cap, context_vec, deterministic,
+              prev_aux=None):
         codes = cur["codes"]
-        order, inverse = argsort_with_inverse(codes)
-        o0, i0 = order[0], inverse[0]
+        if prev_aux is not None:
+            # the stage aux already argsorted these codes (indice reuse)
+            o0, i0 = prev_aux["order"][0], prev_aux["inverse"][0]
+        else:
+            order, inverse = argsort_with_inverse(codes)
+            o0, i0 = order[0], inverse[0]
         codes0_sorted = jnp.take_along_axis(codes[0], o0, axis=-1)
         maps = build_pool_maps(codes0_sorted, o0, i0, cur["counts"], child_cap)
 
