@@ -123,6 +123,9 @@ class PointTransformerV3TPU(nn.Module):
     # geometry
     grid_size: float = 0.01
     serial_depth: int = 10
+    # stem stencil size (reference model.py:845-852 uses k=5; shrinkable for
+    # fast-compile dry runs / tests)
+    stem_kernel: int = 5
 
     def _stage_caps(self, n0):
         caps = [n0]
@@ -159,8 +162,9 @@ class PointTransformerV3TPU(nn.Module):
             codes = codes[perm]
 
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
-        stem_nmap = build_neighbor_map(grid_coord, mask, 5, depth0)
-        x = SubMConv(self.enc_channels[0], 5, use_bias=False,
+        stem_nmap = build_neighbor_map(grid_coord, mask, self.stem_kernel,
+                                       depth0)
+        x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv")(feat, stem_nmap)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
                          adaptive=self.norm_adaptive, name="embedding_norm")(
