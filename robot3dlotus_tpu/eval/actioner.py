@@ -30,6 +30,7 @@ from ..configs import get_config
 from ..configs.rlbench.constants import get_robot_workspace
 from ..models.factory import build_model
 from ..models.simple_policy import decode_actions
+from ..utils.assets import resolve_asset
 from ..utils.robot_box import RobotBox
 from ..ops.voxel import voxelize_pcd_np, workspace_mask_np
 from ..train.checkpoint import load_model_ckpt
@@ -57,22 +58,21 @@ class Actioner:
         self.model = build_model(self.config.MODEL)
         rng = jax.random.PRNGKey(0)
         sample = self._dummy_batch()
-        self.variables = self.model.init(
-            {"params": rng, "dropout": rng, "shuffle": rng},
-            sample, deterministic=True)
+        from ..train.trainer import init_variables
+        self.variables = init_variables(self.model, sample, rng)
         if checkpoint:
             self.variables = dict(load_model_ckpt(
                 checkpoint, {"params": self.variables["params"],
                              "batch_stats": self.variables["batch_stats"]}))
 
         self.instr_embeds = {}
-        f = self.data_cfg.get("instr_embed_file")
+        f = resolve_asset(self.data_cfg.get("instr_embed_file"))
         if f and os.path.exists(f):
             self.instr_embeds = np.load(f, allow_pickle=True).item()
             if self.data_cfg.get("instr_embed_type", "all") == "last":
                 self.instr_embeds = {k: v[-1:] for k, v in
                                      self.instr_embeds.items()}
-        tf = self.data_cfg.get("taskvar_instr_file")
+        tf = resolve_asset(self.data_cfg.get("taskvar_instr_file"))
         self.taskvar_instrs = json.load(open(tf)) if tf and os.path.exists(tf) \
             else {}
         self._clip = None  # lazy on-demand CLIP text encoder
@@ -106,6 +106,40 @@ class Actioner:
 
             self._jit_cache[T] = run
         return self._jit_cache[T]
+
+    def _predict_fn_shuffled(self, T):
+        """Forward with serialized-order shuffling active — the eval-time
+        randomness the reference ensembles over (model.py:130-134,
+        eval_simple_policy.py:319-328)."""
+        key = ("shuffled", T)
+        if key not in self._jit_cache:
+            model, act_cfg = self.model, self.act_cfg
+
+            @jax.jit
+            def run(variables, batch, rng):
+                preds = model.apply(variables, batch, deterministic=True,
+                                    rngs={"shuffle": rng})
+                return decode_actions(preds, act_cfg)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _ensemble_predict(self, T, batch):
+        """num_ensembles forwards with different order shuffles; average pos
+        and open, mean the rotations in euler space
+        (reference eval_simple_policy.py:316-330)."""
+        from scipy.spatial.transform import Rotation as R
+        run = self._predict_fn_shuffled(T)
+        key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+        actions = [np.asarray(run(self.variables, batch,
+                                  jax.random.fold_in(key, i)))[0]
+                   for i in range(self.num_ensembles)]
+        stacked = np.stack(actions, 0)          # (E, 8)
+        avg = stacked.mean(0)
+        eulers = np.stack([R.from_quat(a[3:7]).as_euler("xyz")
+                           for a in actions], 0)
+        quat = R.from_euler("xyz", eulers.mean(0)).as_quat()
+        return np.concatenate([avg[:3], quat, avg[-1:]], 0)
 
     def _encode_instruction(self, instr):
         if instr in self.instr_embeds:
@@ -207,8 +241,11 @@ class Actioner:
             "ee_poses": jnp.asarray(ee_pose[None]),
             "step_ids": jnp.asarray([step_id], jnp.int32),
         }
-        run = self._predict_fn(T)
-        action = np.asarray(run(self.variables, batch))[0]
+        if self.num_ensembles > 1:
+            action = self._ensemble_predict(T, batch)
+        else:
+            run = self._predict_fn(T)
+            action = np.asarray(run(self.variables, batch))[0]
         action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
         action[:3] = action[:3] * radius + centroid
         action[2] = max(action[2], self.TABLE_HEIGHT + 0.005)

@@ -204,9 +204,17 @@ def _masked_bce(logits, targets, mask):
 
 
 def compute_mp_loss(preds, batch, act_cfg, loss_cfg):
-    """reference motion_planner_ptv3.py:307-397."""
+    """reference motion_planner_ptv3.py:307-397.
+
+    `batch_valid` (collate batch padding) zeroes the trajectory mask of pad
+    clouds so they drop out of every masked term.
+    """
     gt = batch["gt_trajs"]           # (B, L, 8)
     tmask = batch["traj_masks"].astype(jnp.float32)  # (B, L)
+    bv = batch.get("batch_valid")
+    bv = jnp.ones(gt.shape[0], jnp.float32) if bv is None \
+        else bv.astype(jnp.float32)
+    tmask = tmask * bv[:, None]
     tgt_pos, tgt_rot, tgt_open = gt[..., :3], gt[..., 3:-1], gt[..., -1]
 
     if act_cfg.get("pos_pred_type", "heatmap_disc") == "heatmap_disc":
@@ -218,9 +226,9 @@ def compute_mp_loss(preds, batch, act_cfg, loss_cfg):
         ce = -jnp.sum(jnp.where(target > 0, target * logp, 0.0), axis=-1)
         # per cloud: sum over (t, c) weighted by traj mask / mask count
         w = tmask[:, :, None]
-        pos_loss = jnp.mean(
-            jnp.sum(ce * w, axis=(1, 2)) /
-            jnp.maximum(jnp.sum(w, axis=(1, 2)), 1.0))
+        per_cloud = jnp.sum(ce * w, axis=(1, 2)) / \
+            jnp.maximum(jnp.sum(w, axis=(1, 2)), 1.0)
+        pos_loss = jnp.sum(per_cloud * bv) / jnp.maximum(jnp.sum(bv), 1.0)
     else:
         se = (preds["pos"] - tgt_pos) ** 2
         pos_loss = jnp.sum(se * tmask[..., None]) / \

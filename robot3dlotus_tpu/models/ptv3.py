@@ -156,7 +156,13 @@ class PointTransformerV3TPU(nn.Module):
 
         grid_coord = compute_grid_coord(coord, mask, self.grid_size, depth0)
         codes = serialize_codes(grid_coord, mask, depth0, self.orders)
-        if self.shuffle_orders and not deterministic:
+        # the reference shuffles orders via torch.randperm in eval mode too
+        # (model.py:130-134) — that randomness is what ensemble inference
+        # averages over; here shuffling happens whenever a 'shuffle' rng is
+        # supplied (training always supplies one)
+        shuffle = self.shuffle_orders and (
+            not deterministic or self.has_rng("shuffle"))
+        if shuffle:
             perm = jax.random.permutation(self.make_rng("shuffle"),
                                           len(self.orders))
             codes = codes[perm]
@@ -297,7 +303,8 @@ class PointTransformerV3TPU(nn.Module):
         ])
         sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
         new_codes = jnp.where(maps.child_mask[None], new_codes, sentinel)
-        if self.shuffle_orders and not deterministic:
+        if self.shuffle_orders and (not deterministic or
+                                    self.has_rng("shuffle")):
             perm = jax.random.permutation(self.make_rng("shuffle"),
                                           len(self.orders))
             new_codes = new_codes[perm]

@@ -154,23 +154,34 @@ _PTV3_FIELDS = {
 
 
 def compute_loss(preds, batch, act_cfg, loss_cfg):
-    """reference simple_policy_ptv3.py:308-373, fully masked/batched."""
+    """reference simple_policy_ptv3.py:308-373, fully masked/batched.
+
+    `batch_valid` (from collate batch padding) excludes duplicated pad clouds
+    from every term; absent means all clouds count.
+    """
     gt = batch["gt_actions"]
     tgt_pos, tgt_rot, tgt_open = gt[..., :3], gt[..., 3:-1], gt[..., -1]
+    B = gt.shape[0]
+    bv = batch.get("batch_valid")
+    bv = jnp.ones(B, jnp.float32) if bv is None else bv.astype(jnp.float32)
+    nvalid = jnp.maximum(jnp.sum(bv), 1.0)
+
+    def bmean(per_cloud):  # (B,) -> masked scalar mean
+        return jnp.sum(per_cloud * bv) / nvalid
 
     if act_cfg.get("pos_pred_type", "heatmap_disc") == "heatmap_disc":
         # per-cloud CE over all candidates of each axis, averaged over axes
         # then clouds (reference :326-332)
         logits = preds["pos"]                      # (B, 3, N, nb)
-        B, _, N, nb = logits.shape
+        _, _, N, nb = logits.shape
         flat = logits.reshape(B, 3, N * nb)
         target = batch["disc_pos_probs"]           # (B, 3, N*nb)
         logp = jax.nn.log_softmax(flat, axis=-1)
         pos_loss = -jnp.sum(
             jnp.where(target > 0, target * logp, 0.0), axis=-1)  # (B, 3)
-        pos_loss = jnp.mean(pos_loss)
+        pos_loss = bmean(jnp.mean(pos_loss, axis=-1))
     else:
-        pos_loss = jnp.mean((preds["pos"] - tgt_pos) ** 2)
+        pos_loss = bmean(jnp.mean((preds["pos"] - tgt_pos) ** 2, axis=-1))
 
     rot_type = act_cfg.get("rot_pred_type", "euler_disc")
     if rot_type == "euler_disc":
@@ -178,23 +189,24 @@ def compute_loss(preds, batch, act_cfg, loss_cfg):
         logp = jax.nn.log_softmax(preds["rot"], axis=1)  # (B, bins, 3)
         rot_loss = -jnp.take_along_axis(
             logp, labels[:, None, :], axis=1)[:, 0, :]
-        rot_loss = jnp.mean(rot_loss)
+        rot_loss = bmean(jnp.mean(rot_loss, axis=-1))
     elif rot_type == "quat":
         q = preds["rot"]
         e1 = jnp.mean((q - tgt_rot[..., :4]) ** 2, -1)
         e2 = jnp.mean((q + tgt_rot[..., :4]) ** 2, -1)
-        rot_loss = jnp.mean(jnp.minimum(e1, e2))
+        rot_loss = bmean(jnp.minimum(e1, e2))
     elif rot_type == "euler":
         t = tgt_rot[..., :3]
         t_alt = jnp.where(t < 0, t + 2, jnp.where(t > 0, t - 2, t))
         e1 = (preds["rot"] - t) ** 2
         e2 = (preds["rot"] - t_alt) ** 2
-        rot_loss = jnp.mean(jnp.minimum(e1, e2))
+        rot_loss = bmean(jnp.mean(jnp.minimum(e1, e2), axis=-1))
     else:  # euler_delta / rot6d (rot6d target conversion done in the dataset)
-        rot_loss = jnp.mean((preds["rot"] - tgt_rot[..., :preds["rot"].shape[-1]]) ** 2)
+        se = (preds["rot"] - tgt_rot[..., :preds["rot"].shape[-1]]) ** 2
+        rot_loss = bmean(jnp.mean(se, axis=-1))
 
     open_logit = preds["open"]
-    open_loss = jnp.mean(
+    open_loss = bmean(
         jnp.maximum(open_logit, 0) - open_logit * tgt_open +
         jnp.log1p(jnp.exp(-jnp.abs(open_logit))))
 

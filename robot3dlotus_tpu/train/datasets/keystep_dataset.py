@@ -16,6 +16,7 @@ from __future__ import annotations
 import copy
 import json
 import random
+import zlib
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -23,6 +24,7 @@ from scipy.spatial.transform import Rotation as R
 from scipy.special import softmax
 
 from ...configs.rlbench.constants import get_robot_workspace
+from ...utils.assets import resolve_asset
 from ...utils.robot_box import RobotBox
 from ...ops.pos_codec import disc_pos_gt_prob_np
 from ...ops import rotation as rotops
@@ -78,13 +80,15 @@ class KeystepDataset:
     ):
         self.store = store
         if taskvar_file:
-            self.taskvars = json.load(open(taskvar_file))
+            self.taskvars = json.load(open(resolve_asset(taskvar_file)))
         else:
             self.taskvars = store.taskvars()
-        self.taskvar_instrs = (json.load(open(taskvar_instr_file))
-                               if taskvar_instr_file else None)
+        self.taskvar_instrs = (
+            json.load(open(resolve_asset(taskvar_instr_file)))
+            if taskvar_instr_file else None)
         if instr_embed_file:
-            embeds = np.load(instr_embed_file, allow_pickle=True).item()
+            embeds = np.load(resolve_asset(instr_embed_file),
+                             allow_pickle=True).item()
             if instr_embed_type == "last":
                 embeds = {k: v[-1:] for k, v in embeds.items()}
             self.instr_embeds = embeds
@@ -157,7 +161,8 @@ class KeystepDataset:
             instr = random.choice(self.taskvar_instrs[taskvar])
             return np.asarray(self.instr_embeds[instr], np.float32)
         # synthetic: deterministic pseudo-embedding per taskvar
-        h = abs(hash(taskvar)) % (2 ** 31)
+        # stable across processes (Python hash() varies with PYTHONHASHSEED)
+        h = zlib.crc32(taskvar.encode("utf-8")) % (2 ** 31)
         rng = np.random.RandomState(h)
         return rng.randn(4, self.txt_embed_dim).astype(np.float32)
 

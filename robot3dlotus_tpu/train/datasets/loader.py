@@ -8,6 +8,7 @@ overlaps the H2D copy with compute.
 """
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Iterator, Optional
@@ -16,6 +17,13 @@ import numpy as np
 import jax
 
 from .collate import collate_keystep_samples
+
+LOGGER = logging.getLogger("robot3dlotus_tpu.loader")
+
+# consecutive per-episode failures before the loader gives up (a bad disk /
+# corrupt store should fail loudly, not spin forever; reference-level parity:
+# the torch DataLoader would crash on the first one)
+MAX_CONSECUTIVE_FAILURES = 16
 
 
 class KeystepBatchLoader:
@@ -28,7 +36,7 @@ class KeystepBatchLoader:
 
     def __init__(self, dataset, num_clouds, num_points, pos_bins=None,
                  shuffle=True, seed=0, process_index=None, process_count=None,
-                 infinite=True):
+                 infinite=True, collate_fn=None):
         self.dataset = dataset
         self.num_clouds = num_clouds
         self.num_points = num_points
@@ -36,6 +44,11 @@ class KeystepBatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.infinite = infinite
+        if collate_fn is None:
+            collate_fn = lambda chunk: collate_keystep_samples(
+                chunk, self.num_points, pos_bins=self.pos_bins,
+                num_clouds=self.num_clouds)
+        self.collate_fn = collate_fn
         self.process_index = (process_index if process_index is not None
                               else jax.process_index())
         self.process_count = (process_count if process_count is not None
@@ -53,24 +66,28 @@ class KeystepBatchLoader:
     def __iter__(self) -> Iterator[dict]:
         epoch = 0
         buf = []
+        consecutive_failures = 0
         while True:
             for idx in self._epoch_ids(epoch):
                 try:
                     samples = self.dataset[int(idx)]
+                    consecutive_failures = 0
                 except Exception:
+                    consecutive_failures += 1
+                    LOGGER.warning(
+                        "episode %d failed to load (%d consecutive)",
+                        int(idx), consecutive_failures, exc_info=True)
+                    if consecutive_failures >= MAX_CONSECUTIVE_FAILURES:
+                        raise
                     continue
                 buf.extend(samples)
                 while len(buf) >= self.num_clouds:
                     chunk, buf = buf[:self.num_clouds], buf[self.num_clouds:]
-                    yield collate_keystep_samples(
-                        chunk, self.num_points, pos_bins=self.pos_bins,
-                        num_clouds=self.num_clouds)
+                    yield self.collate_fn(chunk)
             epoch += 1
             if not self.infinite:
                 if buf:
-                    yield collate_keystep_samples(
-                        buf, self.num_points, pos_bins=self.pos_bins,
-                        num_clouds=self.num_clouds)
+                    yield self.collate_fn(buf)
                     buf = []
                 return
 

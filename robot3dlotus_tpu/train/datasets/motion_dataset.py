@@ -18,12 +18,14 @@ from __future__ import annotations
 import copy
 import json
 import random
+import zlib
 from typing import Dict, List
 
 import numpy as np
 from scipy.spatial.transform import Rotation as R
 
 from ...configs.rlbench.constants import get_robot_workspace
+from ...utils.assets import resolve_asset
 from ...utils.robot_box import RobotBox
 from ...ops.pos_codec import disc_pos_gt_prob_np
 from .keystep_dataset import (
@@ -71,19 +73,21 @@ class MotionPlannerDataset(KeystepDataset):
         self.instr_include_objects = instr_include_objects
         if action_embed_file:
             self.action_embeds = np.load(
-                action_embed_file, allow_pickle=True).item()
+                resolve_asset(action_embed_file), allow_pickle=True).item()
             if instr_embed_type == "last":
                 self.action_embeds = {k: v[-1:] for k, v in
                                       self.action_embeds.items()}
         else:
             self.action_embeds = None
-        self.gt_act_obj_labels = (json.load(open(gt_act_obj_label_file))
-                                  if gt_act_obj_label_file else None)
+        self.gt_act_obj_labels = (
+            json.load(open(resolve_asset(gt_act_obj_label_file)))
+            if gt_act_obj_label_file else None)
 
     def _action_embed(self, action_name):
         if self.action_embeds is not None and action_name in self.action_embeds:
             return np.asarray(self.action_embeds[action_name], np.float32)
-        h = abs(hash(action_name)) % (2 ** 31)
+        # stable across processes (Python hash() varies with PYTHONHASHSEED)
+        h = zlib.crc32(action_name.encode("utf-8")) % (2 ** 31)
         rng = np.random.RandomState(h)
         return rng.randn(3, self.txt_embed_dim).astype(np.float32)
 
@@ -263,6 +267,8 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
     action; traj_masks mark real steps)."""
     from .collate import _bucket
     B = num_clouds or len(samples)
+    batch_valid = np.zeros(B, bool)
+    batch_valid[:min(len(samples), B)] = True
     samples = (samples + [samples[-1]] * max(0, B - len(samples)))[:B]
     N, L = num_points, max_traj_len
     cin = samples[0]["pc_fts"].shape[-1]
@@ -316,6 +322,7 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
         "pc_counts": counts, "txt_embeds": txt, "txt_mask": txt_mask,
         "ee_poses": ee, "gt_trajs": trajs, "gt_trajs_stop": stops,
         "traj_masks": tmask, "step_ids": np.zeros(B, np.int32),
+        "batch_valid": batch_valid,
         "pc_centroids": centroids, "pc_radius": radius,
     }
     if has_probs:

@@ -212,9 +212,12 @@ class SyntheticMotionStore(SyntheticStore):
 
 
 def open_store(path_or_kind):
-    """'synthetic' | a directory of LMDB envs | a MsgpackDirStore root."""
+    """'synthetic' | 'synthetic_motion' | a directory of LMDB envs | a
+    MsgpackDirStore root."""
     if path_or_kind == "synthetic":
         return SyntheticStore()
+    if path_or_kind == "synthetic_motion":
+        return SyntheticMotionStore()
     # sniff: LMDB dirs contain data.mdb
     sub = [d for d in os.listdir(path_or_kind)
            if os.path.isdir(os.path.join(path_or_kind, d))]

@@ -26,10 +26,18 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def init_variables(model, sample_batch, rng):
+    """Jitted flax init: one compiled (and persistently cached) XLA program
+    instead of thousands of eager per-op dispatches — the eager path costs
+    minutes on both the TPU and a forced-multi-device CPU client."""
+    init_fn = jax.jit(lambda rngs, batch: model.init(
+        rngs, batch, deterministic=True))
+    return init_fn({"params": rng, "dropout": rng, "shuffle": rng},
+                   sample_batch)
+
+
 def create_train_state(model, sample_batch, train_cfg, rng, mesh=None):
-    variables = model.init(
-        {"params": rng, "dropout": rng, "shuffle": rng},
-        sample_batch, deterministic=True)
+    variables = init_variables(model, sample_batch, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax.core.freeze({}))
     tx, schedule = build_optimizer(params, train_cfg)
@@ -69,6 +77,25 @@ def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
                        out_shardings=out_shardings,
                        donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_val_step(model, loss_fn: Callable, decode_fn: Callable, mesh=None):
+    """One jitted program: eval forward -> (losses, decoded actions).
+
+    Mirrors reference validate() (train_simple_policy.py:290-319) which needs
+    both the loss dict and the decoded action per batch.
+    """
+
+    def step(state: TrainState, batch):
+        preds = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, deterministic=True)
+        return loss_fn(preds, batch), decode_fn(preds)
+
+    if mesh is not None:
+        return jax.jit(step, in_shardings=(
+            replicated_sharding(mesh), batch_sharding(mesh)))
+    return jax.jit(step)
 
 
 def make_eval_step(model, loss_fn: Callable, mesh=None):

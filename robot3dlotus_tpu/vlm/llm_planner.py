@@ -22,6 +22,7 @@ import os
 import random
 import re
 import string
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -70,9 +71,11 @@ class SentenceSim:
         v = np.zeros(dim, np.float32)
         words = re.findall(r"[a-z]+", sentence.lower())
         for i, w in enumerate(words):
-            v[hash(w) % dim] += 1.0
+            # crc32: stable across processes, unlike Python hash()
+            v[zlib.crc32(w.encode("utf-8")) % dim] += 1.0
             if i + 1 < len(words):
-                v[hash(w + "_" + words[i + 1]) % dim] += 0.5
+                bigram = (w + "_" + words[i + 1]).encode("utf-8")
+                v[zlib.crc32(bigram) % dim] += 0.5
         n = np.linalg.norm(v)
         return v / n if n > 0 else v
 
@@ -316,3 +319,22 @@ class GroundtruthTaskPlanner:
         example = self.taskvar_examples[taskvar][0]
         # drop '# query'/'# objects' comment lines
         return [l for l in example if not l.startswith("#")]
+
+    def estimate_height_range(self, target_name, obj_height):
+        """Oracle height-range split (reference robot_pipeline_gt.py:46-59):
+        quarters for 'middle bottom'/'middle top', thirds otherwise."""
+        h = float(obj_height)
+        t = target_name
+        if "middle bottom" in t:
+            zrange = [h / 4 * 1, h / 4 * 2]
+        elif "middle top" in t:
+            zrange = [h / 4 * 2, h / 4 * 3]
+        elif "bottom" in t:
+            zrange = [0, h / 3]
+        elif "middle" in t:
+            zrange = [h / 3, h / 3 * 2]
+        elif "top" in t:
+            zrange = [h / 3 * 2, h]
+        else:
+            zrange = [0, h]
+        return np.array(zrange)
