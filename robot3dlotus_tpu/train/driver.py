@@ -1,0 +1,232 @@
+"""Shared training-driver core for both policy families.
+
+The reference ships two near-identical 352-line drivers
+(train/train_simple_policy.py:53-288 and train/train_motion_planner.py:42-318);
+here the loop lives once and each entry point provides a TaskSpec (dataset,
+collate, loss, decode, validation metrics).
+
+Loop parity with the reference:
+  config -> dataset -> model -> optimizer -> step loop with per-step LR decay,
+  grad clip, EMA meters fed EVERY step, periodic save, periodic validation
+  (loss dict + decoded-action accuracies, reference :256-265 and :290-319),
+  best-val tracking, auto-resume, final save + final validation.
+
+TPU-first details: the train step is one jitted XLA program with donated
+buffers; loss scalars are buffered as device arrays and only pulled to host at
+log time, so the meters see every step without a per-step device sync.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+import jax
+
+from ..models.factory import build_model
+from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel import dist
+from .trainer import (
+    create_train_state, make_train_step, make_val_step, RunningMeter,
+)
+from .checkpoint import ModelSaver, save_training_meta, resume_or_init
+from .datasets.loader import KeystepBatchLoader, PrefetchToDevice
+from .logging import build_logger, MetricWriter
+
+
+@dataclasses.dataclass
+class TaskSpec:
+    name: str
+    # (ds_cfg_dict, rng) -> dataset object (indexable, returns sample lists)
+    build_dataset: Callable[[dict, np.random.RandomState], Any]
+    # (ds_cfg_dict, num_clouds) -> collate_fn(samples) -> host batch dict
+    make_collate: Callable[[dict, int], Callable]
+    # (preds, batch, act_cfg, loss_cfg) -> loss dict with 'total'
+    loss_fn: Callable
+    # (preds, act_cfg) -> decoded actions (device array)
+    decode_fn: Callable
+    # (decoded_actions_np, host_batch) -> {metric: (sum, count)}
+    val_accuracy: Callable
+    # validation metric tracked for "best" (reference keys on pos_loss)
+    best_metric: str = "pos_loss"
+
+
+def _to_device(batch, mesh):
+    if mesh is not None:
+        return shard_batch(batch, mesh)
+    return jax.tree_util.tree_map(jax.device_put, batch)
+
+
+def _run_validation(val_fn, state, make_val_loader, spec, mesh):
+    loss_sums: Dict[str, float] = {}
+    acc_sums: Dict[str, list] = {}
+    num_batches = 0
+    for host_batch in make_val_loader():
+        batch = _to_device(host_batch, mesh)
+        losses, actions = val_fn(state, batch)
+        for k, v in losses.items():
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+        for k, (s, c) in spec.val_accuracy(
+                np.asarray(actions), host_batch).items():
+            a = acc_sums.setdefault(k, [0.0, 0.0])
+            a[0] += float(s)
+            a[1] += float(c)
+
+        num_batches += 1
+    if num_batches == 0:
+        return {}
+    out = {}
+    for k, v in loss_sums.items():
+        name = k if k.endswith("loss") else (
+            "total_loss" if k == "total" else f"{k}_loss")
+        out[name] = v / num_batches
+    for k, (s, c) in acc_sums.items():
+        out[k] = s / max(c, 1.0)
+    return out
+
+
+def run_training(config, spec: TaskSpec):
+    output_dir = config.output_dir or f"experiments/{spec.name}"
+    os.makedirs(output_dir, exist_ok=True)
+    logger = build_logger(output_dir) if dist.is_default_process() \
+        else dist.NoOp()
+    metric_writer = MetricWriter(output_dir) if dist.is_default_process() \
+        else dist.NoOp()
+
+    devices = jax.devices()
+    mesh = make_mesh(devices) if len(devices) > 1 else None
+    logger.info(f"devices={len(devices)} mesh={'dp' if mesh else 'single'}")
+
+    seed = int(config.get("SEED", 2024)) + jax.process_index()
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    tds_cfg = dict(config.TRAIN_DATASET)
+    dataset = spec.build_dataset(tds_cfg, np.random.RandomState(seed))
+    logger.info(f"#train episodes: {len(dataset)}")
+
+    num_clouds = int(config.TRAIN.train_batch_size)
+    loader = KeystepBatchLoader(
+        dataset, num_clouds=num_clouds,
+        num_points=int(tds_cfg.get("num_points", 4096)),
+        collate_fn=spec.make_collate(tds_cfg, num_clouds), seed=seed)
+    batches = PrefetchToDevice(loader, mesh=mesh)
+
+    model = build_model(config.MODEL)
+    act_cfg = dict(config.MODEL.action_config)
+    loss_cfg = dict(config.MODEL.loss_config)
+    loss_fn = lambda preds, b: spec.loss_fn(preds, b, act_cfg, loss_cfg)
+
+    first = next(iter(batches))
+    host_first = jax.tree_util.tree_map(np.asarray, first)
+    state, schedule = create_train_state(
+        model, host_first, dict(config.TRAIN), rng, mesh=mesh)
+    nparams = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"#parameters: {nparams/1e6:.2f}M")
+
+    if config.TRAIN.get("resume_training", True):
+        state, start_step = resume_or_init(state, output_dir)
+        if start_step:
+            logger.info(f"resumed at step {start_step}")
+    else:
+        start_step = 0
+
+    if dist.is_default_process():
+        save_training_meta(output_dir, config)
+    saver = ModelSaver(output_dir)
+
+    step_fn = make_train_step(model, loss_fn, mesh=mesh)
+
+    # ---- validation setup (reference train_simple_policy.py:256-265) ----
+    val_cfg = dict(config.get("VAL_DATASET", {}) or {})
+    val_steps = int(config.TRAIN.get("val_steps", 0) or 0)
+    use_val = bool(val_cfg.pop("use_val", False)) and val_steps > 0
+    val_fn = None
+    make_val_loader = None
+    if use_val:
+        val_dataset = spec.build_dataset(
+            dict(val_cfg), np.random.RandomState(seed + 1))
+        logger.info(f"#val episodes: {len(val_dataset)}")
+        val_clouds = int(config.TRAIN.get("val_batch_size", num_clouds))
+        val_collate = spec.make_collate(dict(val_cfg), val_clouds)
+
+        def make_val_loader():
+            return KeystepBatchLoader(
+                val_dataset, num_clouds=val_clouds,
+                num_points=int(val_cfg.get("num_points", 4096)),
+                collate_fn=val_collate, shuffle=False, seed=seed,
+                infinite=False)
+
+        val_fn = make_val_step(
+            model, loss_fn, lambda preds: spec.decode_fn(preds, act_cfg),
+            mesh=mesh)
+    best_val_metric, best_val_step = float("inf"), -1
+
+    def validate(at_step):
+        nonlocal best_val_metric, best_val_step
+        metrics = _run_validation(val_fn, state, make_val_loader, spec, mesh)
+        logger.info("================= Validation =================")
+        logger.info(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+        metric_writer.write(
+            at_step, {f"val_{k}": v for k, v in metrics.items()})
+        if metrics.get(spec.best_metric, float("inf")) < best_val_metric:
+            best_val_metric = metrics[spec.best_metric]
+            best_val_step = at_step
+
+    num_train_steps = int(config.TRAIN.num_train_steps)
+    log_steps = int(config.TRAIN.get("log_steps", 1000))
+    save_steps = int(config.TRAIN.get("save_steps", 10000))
+    meters: Dict[str, RunningMeter] = {}
+    t_start = time.time()
+    samples_seen = 0
+
+    # buffered device scalars: every step feeds the meters (reference
+    # :218-221) but the host only syncs at log boundaries
+    loss_buf = []
+
+    def flush_meters():
+        for step_losses in loss_buf:
+            for k, v in step_losses.items():
+                meters.setdefault(k, RunningMeter(k))(float(v))
+        loss_buf.clear()
+
+    step = start_step
+    batch_iter = iter(batches)
+    if start_step == 0:
+        state, losses = step_fn(state, first, rng)
+        loss_buf.append(losses)
+        step += 1
+        samples_seen += num_clouds
+    for batch in batch_iter:
+        if step >= num_train_steps:
+            break
+        state, losses = step_fn(state, batch, rng)
+        loss_buf.append(losses)
+        step += 1
+        samples_seen += num_clouds
+        if step % log_steps == 0:
+            flush_meters()
+            lr = float(schedule(step))
+            sps = samples_seen / max(time.time() - t_start, 1e-9)
+            logger.info(
+                f"step {step}: " +
+                ", ".join(f"{k}={m.val:.4f}" for k, m in meters.items()) +
+                f", lr={lr:.2e}, samples/s={sps:.1f}")
+            metric_writer.write(step, dict(
+                {k: m.val for k, m in meters.items()},
+                lr=lr, samples_per_sec=sps))
+        if step % save_steps == 0 and dist.is_default_process():
+            saver.save(state, step)
+        if use_val and step % val_steps == 0:
+            validate(step)
+    flush_meters()
+    if dist.is_default_process():
+        saver.save(state, step)
+    if use_val:
+        validate(step)
+        logger.info(f"Validation: best {spec.best_metric}: "
+                    f"{best_val_metric:.4f} at step {best_val_step}")
+    logger.info(f"done at step {step}")
+    return state
