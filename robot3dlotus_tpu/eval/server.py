@@ -41,6 +41,56 @@ def consumer_fn(actioner_builder, batch_queue, result_queues, stop_token="STOP")
         result_queues[k].put(out)
 
 
+class QueueActioner:
+    """Actioner proxy living in a producer process: routes predict() calls
+    through the queues to the single accelerator-owning consumer, carrying the
+    per-episode pipeline cache when stateful (reference
+    eval_robot_pipeline_server.py:155-213)."""
+
+    def __init__(self, proc_id, batch_queue, result_queue, stateful=False):
+        self.proc_id = proc_id
+        self.batch_queue = batch_queue
+        self.result_queue = result_queue
+        self.stateful = stateful
+        self._cache = None
+
+    def predict(self, **payload):
+        if self.stateful:
+            if payload.get("step_id") == 0:
+                self._cache = None
+            payload["cache"] = self._cache
+        self.batch_queue.put((self.proc_id, payload))
+        out = self.result_queue.get()
+        if self.stateful:
+            self._cache = out.get("cache")
+        return out
+
+
+def producer_fn_sim(
+    proc_id, taskvars, env_builder, batch_queue, result_queue, result_file,
+    num_demos=20, max_steps=25, seed=100, checkpoint=None, stateful=False,
+):
+    """Producer that owns a full simulator adapter exposing `evaluate()`
+    (RLBenchEnv) instead of the reset/step Replay API."""
+    env = env_builder()
+    actioner = QueueActioner(proc_id, batch_queue, result_queue, stateful)
+    for taskvar in taskvars:
+        task_str, variation = taskvar.split("+")
+        try:
+            sr = env.evaluate(
+                task_str, int(variation), max_episodes=max_steps,
+                num_demos=num_demos, log_dir=None, actioner=actioner,
+                max_tries=10)
+        except Exception as e:
+            print(f"{taskvar} failed: {e}")
+            continue
+        write_to_file(result_file, {
+            "checkpoint": checkpoint, "task": task_str,
+            "variation": int(variation),
+            "num_demos": num_demos, "sr": sr,
+        })
+
+
 def load_done_taskvars(result_file) -> set:
     done = set()
     if os.path.exists(result_file):
@@ -56,10 +106,13 @@ def load_done_taskvars(result_file) -> set:
 
 def producer_fn(
     proc_id, taskvars, env_builder, batch_queue, result_queue, result_file,
-    num_demos=20, max_steps=25, seed=100,
+    num_demos=20, max_steps=25, seed=100, checkpoint=None, stateful=False,
 ):
     """Owns one simulator; rolls episodes and queries the consumer
-    (reference eval_simple_policy_server.py:76-227)."""
+    (reference eval_simple_policy_server.py:76-227). With `stateful=True`
+    the per-episode pipeline cache round-trips producer<->consumer each step
+    (reference eval_robot_pipeline_server.py:197-213) — the consumer is
+    stateless across queries so any producer can interleave."""
     env = env_builder()
     for taskvar in taskvars:
         task_str, variation = taskvar.split("+")
@@ -70,14 +123,20 @@ def producer_fn(
             except Exception:
                 continue
             reward = 0.0
+            cache = None
             for step_id in range(max_steps):
-                batch_queue.put((proc_id, {
+                payload = {
                     "task_str": task_str, "variation": variation,
                     "step_id": step_id, "obs_state_dict": obs,
                     "episode_id": demo_id,
                     "instructions": env.instructions(taskvar),
-                }))
+                }
+                if stateful:
+                    payload["cache"] = cache
+                batch_queue.put((proc_id, payload))
                 out = result_queue.get()
+                if stateful:
+                    cache = out.get("cache")
                 try:
                     obs, reward, done = env.step(out["action"])
                 except Exception:
@@ -86,7 +145,8 @@ def producer_fn(
                     break
             success += int(reward == 1)
         write_to_file(result_file, {
-            "checkpoint": None, "task": task_str, "variation": int(variation),
+            "checkpoint": checkpoint, "task": task_str,
+            "variation": int(variation),
             "num_demos": num_demos, "sr": success / max(num_demos, 1),
         })
     env.close()
@@ -95,8 +155,13 @@ def producer_fn(
 def run_eval_server(
     taskvars: List[str], actioner_builder: Callable, env_builder: Callable,
     result_file: str, num_workers=4, num_demos=20, max_steps=25, seed=100,
+    checkpoint=None, stateful=False, sim_env=False,
 ):
-    """Reference main (eval_simple_policy_server.py:230-291)."""
+    """Reference main (eval_simple_policy_server.py:230-291). `checkpoint`
+    is recorded in every result row so multi-checkpoint validation sweeps
+    (scripts/summarize_val_results.py) can tell runs apart. `stateful=True`
+    gives the pipeline-server topology (eval_robot_pipeline_server.py:259-357)
+    where the episode cache round-trips through the queues."""
     os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
     done = load_done_taskvars(result_file)
     todo = [tv for tv in taskvars if tv not in done]
@@ -116,9 +181,10 @@ def run_eval_server(
     for i, shard in enumerate(shards):
         if not shard:
             continue
-        p = ctx.Process(target=producer_fn, args=(
+        target = producer_fn_sim if sim_env else producer_fn
+        p = ctx.Process(target=target, args=(
             i, shard, env_builder, batch_queue, result_queues[i],
-            result_file, num_demos, max_steps, seed))
+            result_file, num_demos, max_steps, seed, checkpoint, stateful))
         p.start()
         producers.append(p)
     for p in producers:
@@ -155,10 +221,13 @@ class ReplayEnv:
         rgb_f = np.asarray(ep["rgb"][t], np.float32)
         arm = ({k: np.asarray(v[t]) for k, v in ep["bbox_info"].items()},
                {k: np.asarray(v[t]) for k, v in ep["pose_info"].items()})
-        return {
+        obs = {
             "rgb": [rgb_f], "pc": [xyz], "gripper": ep["action"][t],
             "arm_links_info": arm,
         }
+        if "sem" in ep:  # GT masks for the oracle-vision pipeline
+            obs["gt_mask"] = [np.asarray(ep["sem"][t])]
+        return obs
 
     def step(self, action):
         tgt = self._ep["action"][self._step + 1]
