@@ -4,21 +4,36 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# zero-egress environment: fail fast instead of retrying HF hub downloads
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# In the axon environment, sitecustomize registers the TPU backend before
-# conftest runs, so the env vars above may not take effect and tests execute
-# on the real chip. TPU matmuls default to bf16 inputs; tests verify exact
-# semantics, so force full fp32 matmuls here. (Training picks its own policy.)
+# In the axon environment, sitecustomize registers the TPU plugin before
+# conftest runs, so the env vars above alone don't stick — but the backend is
+# not *initialized* until first use, so jax.config can still pin the platform.
+# Tests verify exact semantics on a virtual 8-device CPU mesh: tiny-model
+# compiles are fastest there and multi-chip sharding is exercised without
+# hardware. Force fp32 matmuls for golden comparisons, and persist compiled
+# executables across runs (the dryrun/bench share the same cache dir).
 import jax  # noqa: E402
 
+os.environ.setdefault(  # env (not jax.config) so spawned children inherit it
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_platforms", "cpu")
+# 8 virtual devices in THIS process only (jax.config, not XLA_FLAGS env):
+# mesh/sharding tests exercise multi-chip logic, while spawned subprocesses
+# (eval-server producers/consumers) inherit a plain 1-device CPU client —
+# this machine has a single core, and an 8-way-oversubscribed client makes
+# XLA compiles pathologically slow.
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_ROOT = "/root/reference"
 

@@ -1,0 +1,114 @@
+"""End-to-end CLI flow: train a tiny policy, evaluate it through the
+eval-server CLI against the ReplayEnv, summarize the results
+(reference eval_simple_policy_server.py:230-291 +
+scripts/summarize_{val,tst}_results.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from robot3dlotus_tpu.scripts.summarize_val_results import (
+    load_results, summarize,
+)
+from robot3dlotus_tpu.scripts.summarize_tst_results import (
+    load_seed_results, summarize_split,
+)
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    from tests.test_training_driver import _make_config
+    from robot3dlotus_tpu.train import train_simple_policy
+    from robot3dlotus_tpu.eval import eval_simple_policy_server
+
+    cfg = _make_config(tmp_path, "SimplePolicyPTV3CA", "synthetic")
+    train_simple_policy.main(cfg)
+
+    result_file = eval_simple_policy_server.main([
+        "--expr_dir", cfg.output_dir, "--ckpt_step", "3",
+        "--taskvar", "synthetic_task0+0", "--env", "replay",
+        "--num_demos", "1", "--num_workers", "1", "--max_steps", "2",
+        "--seed", "100",
+    ])
+    assert result_file and os.path.exists(result_file)
+    recs = [json.loads(l) for l in open(result_file)]
+    assert len(recs) == 1
+    assert recs[0]["checkpoint"] == "model_step_3"
+    assert recs[0]["task"] == "synthetic_task0"
+    assert 0.0 <= recs[0]["sr"] <= 1.0
+
+    # missing checkpoint -> graceful exit
+    assert eval_simple_policy_server.main([
+        "--expr_dir", cfg.output_dir, "--ckpt_step", "999",
+        "--taskvar", "synthetic_task0+0", "--env", "replay"]) is None
+
+
+def test_summarize_val_results(tmp_path):
+    result_file = tmp_path / "results.jsonl"
+    rows = [
+        {"checkpoint": "model_step_10", "task": "a", "variation": 0,
+         "num_demos": 20, "sr": 0.5},
+        {"checkpoint": "model_step_10", "task": "b", "variation": 1,
+         "num_demos": 20, "sr": 0.7},
+        {"checkpoint": "model_step_20", "task": "a", "variation": 0,
+         "num_demos": 20, "sr": 0.9},
+        {"checkpoint": "model_step_20", "task": "b", "variation": 1,
+         "num_demos": 20, "sr": 0.8},
+        # duplicate from a resumed run: first record wins
+        {"checkpoint": "model_step_20", "task": "b", "variation": 1,
+         "num_demos": 20, "sr": 0.0},
+    ]
+    with open(result_file, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    results = load_results(str(result_file))
+    ckpts, taskvars, matrix, avg, best = summarize(results)
+    assert ckpts == ["model_step_10", "model_step_20"]
+    assert best[0] == "model_step_20"
+    np.testing.assert_allclose(best[1], 0.85)
+    np.testing.assert_allclose(matrix[("a", 0)], [0.5, 0.9])
+
+    # ckpt_step filter
+    only20 = load_results(str(result_file), ckpt_step=20)
+    assert list(only20.keys()) == ["model_step_20"]
+
+
+def test_summarize_tst_results(tmp_path):
+    for seed, srs in [(200, (0.4, 0.6)), (300, (0.6, 0.8))]:
+        d = tmp_path / f"seed{seed}"
+        d.mkdir()
+        with open(d / "results.jsonl", "w") as f:
+            for tv, sr in zip(["a+0", "b+1"], srs):
+                task, var = tv.split("+")
+                f.write(json.dumps({
+                    "checkpoint": 150000, "task": task,
+                    "variation": int(var), "num_demos": 20, "sr": sr}) + "\n")
+
+    results = load_seed_results(str(tmp_path), [200, 300], 150000)
+    means, stds, seed_mean, seed_std = summarize_split(results, ["a+0", "b+1"])
+    np.testing.assert_allclose(means, [50.0, 70.0])
+    np.testing.assert_allclose(seed_mean, 60.0)
+    np.testing.assert_allclose(seed_std, 10.0)
+
+
+def test_asset_resolver(tmp_path, monkeypatch):
+    from robot3dlotus_tpu.utils.assets import resolve_asset
+    # existing path passes through
+    f = tmp_path / "x.json"
+    f.write_text("{}")
+    assert resolve_asset(str(f)) == str(f)
+    # env root resolution
+    root = tmp_path / "assets_root"
+    (root / "assets").mkdir(parents=True)
+    (root / "assets" / "y.json").write_text("{}")
+    monkeypatch.setenv("GEMBENCH_ASSETS_ROOT", str(root))
+    assert resolve_asset("assets/y.json") == str(root / "assets" / "y.json")
+    # reference fallback (available in this environment)
+    if os.path.isdir("/root/reference/assets"):
+        monkeypatch.delenv("GEMBENCH_ASSETS_ROOT")
+        p = resolve_asset("assets/taskvars_train.json")
+        assert p.startswith("/root/reference")
+        assert len(json.load(open(p))) == 31  # L1 split size (SURVEY §6)
+    # None passes through
+    assert resolve_asset(None) is None
