@@ -278,15 +278,23 @@ class Block(nn.Module):
     upcast_softmax: bool = True
 
     @nn.compact
-    def __call__(self, feat, pc_aux, context_vec=None, deterministic=True):
-        """pc_aux: dict with order/inverse/src_pos/key_valid/cpe_nmap/mask."""
+    def __call__(self, feat, pc_aux, context_vec=None, deterministic=True,
+                 cpe_feat=None):
+        """pc_aux: dict with order/inverse/src_pos/key_valid/cpe_nmap/mask.
+
+        cpe_feat: optional stale input for the CPE conv. The reference's
+        SerializedUnpooling never refreshes point.sparse_conv_feat
+        (model.py:817-828 updates only .feat), so the FIRST block after each
+        unpooling runs its CPE conv on the proj_skip output rather than the
+        skip+child sum; released checkpoints were trained with that dataflow,
+        so decoder stages pass the skip features here for block 0."""
         def norm(name):
             return AdaptiveNorm(self.channels, kind="ln",
                                 adaptive=self.norm_adaptive, name=name)
 
         # CPE: conv -> linear -> LN, residual (model.py:615-625, 659-662)
         cpe = SubMConv(self.channels, 3, use_bias=True, name="cpe_conv")(
-            feat, pc_aux["cpe_nmap"])
+            feat if cpe_feat is None else cpe_feat, pc_aux["cpe_nmap"])
         cpe = dense(self.channels, name="cpe_fc")(cpe)
         cpe = LayerNorm(self.channels, name="cpe_norm")(cpe)
         feat = feat + cpe

@@ -89,7 +89,10 @@ class SerializedUnpoolingTPU(nn.Module):
             skip, mask=parent_mask, context=context_vec,
             use_running_average=deterministic)
         skip = gelu(skip)
-        return skip + unpool_gather(x, cluster, child_cap)
+        # also return the bare skip: the reference leaves the sparse-conv
+        # feature buffer at this value (model.py:817-828 never refreshes it),
+        # so the next block's CPE conv must consume it (see Block.cpe_feat)
+        return skip + unpool_gather(x, cluster, child_cap), skip
 
 
 class PointTransformerV3TPU(nn.Module):
@@ -231,7 +234,7 @@ class PointTransformerV3TPU(nn.Module):
         for s in reversed(range(num_stages - 1)):
             parent = stage_state[s]
             cluster, child_cap = pool_records[s]
-            feat_s = SerializedUnpoolingTPU(
+            feat_s, skip_s = SerializedUnpoolingTPU(
                 dec_channels[s], norm_adaptive=self.norm_adaptive,
                 name=f"dec{s}_up",
             )(cur["feat"], cur["mask"], parent["feat"], parent["mask"],
@@ -254,7 +257,8 @@ class PointTransformerV3TPU(nn.Module):
                     upcast_softmax=self.upcast_softmax,
                     name=f"dec{s}_block{i}",
                 )(cur["feat"], aux, context_vec=context_vec,
-                  deterministic=deterministic)
+                  deterministic=deterministic,
+                  cpe_feat=skip_s if i == 0 else None)
                 if not self.use_cross_attn and return_dec_layers:
                     outputs.append(self._pack(cur))
                 if self.use_cross_attn:
