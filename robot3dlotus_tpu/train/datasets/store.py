@@ -111,6 +111,49 @@ class LmdbStore:
         return _unpack_np(raw)
 
 
+class LmdbWriterStore:
+    """Writes the reference GemBench LMDB layout (one env per taskvar,
+    msgpack values — preprocess/generate_dataset_keysteps.py:100-147)."""
+
+    def __init__(self, root: str, map_size=int(1024 ** 4)):
+        import lmdb
+        self.root = root
+        self._lmdb = lmdb
+        self.map_size = map_size
+        self._envs = {}
+        os.makedirs(root, exist_ok=True)
+
+    def _env(self, taskvar):
+        if taskvar not in self._envs:
+            self._envs[taskvar] = self._lmdb.open(
+                os.path.join(self.root, taskvar), map_size=self.map_size)
+        return self._envs[taskvar]
+
+    def put(self, taskvar: str, episode: str, record) -> None:
+        env = self._env(taskvar)
+        with env.begin(write=True) as txn:
+            txn.put(episode.encode("ascii"), _pack_np(record))
+
+    def close(self):
+        for env in self._envs.values():
+            env.close()
+        self._envs = {}
+
+
+def open_output_store(path: str, kind: str = "auto"):
+    """Writable episode store: 'lmdb' (reference layout), 'msgpack', or
+    'auto' (lmdb when the package is importable, else msgpack dir)."""
+    if kind == "auto":
+        try:
+            import lmdb  # noqa: F401
+            kind = "lmdb"
+        except ImportError:
+            kind = "msgpack"
+    if kind == "lmdb":
+        return LmdbWriterStore(path)
+    return MsgpackDirStore(path)
+
+
 class SyntheticStore:
     """Procedural GemBench-shaped episodes (deterministic per episode id)."""
 

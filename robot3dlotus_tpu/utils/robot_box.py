@@ -65,6 +65,9 @@ class RobotBox:
             raise ValueError(env_name)
 
     def _add_box(self, pose, bbox):
+        # copy: zero-copy msgpack/LMDB arrays are read-only and scipy's
+        # Rotation rejects non-writable buffers
+        pose = np.array(pose, np.float64)
         rot = R.from_quat(pose[3:7]).as_matrix()
         extent = np.asarray(bbox[1::2]) - np.asarray(bbox[::2])
         self.boxes.append((pose[:3], rot, extent))
