@@ -1,9 +1,12 @@
 """Benchmark: train keystep samples/sec/chip for the flagship 3D-LOTUS CA
 policy at the release training configuration (4096 points, voxel1cm,
-job_scripts/train_3dlotus_policy.sh), on whatever accelerator is attached.
+job_scripts/train_3dlotus_policy.sh), plus single-observation inference
+latency (p50/p99 over >=200 calls of host preprocess + jitted forward +
+fully on-device decode — the north-star <10 ms p50 target, BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "p50_latency_ms": ..., "p99_latency_ms": ...}
 
 Baseline: the reference trains 150,000 steps x batch 8 in ~14 h on one A100
 (README.md:72) => 150000*8/(14*3600) = 23.8 keystep samples/sec/GPU.
@@ -18,6 +21,101 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 150000 * 8 / (14 * 3600)  # 23.81 (1x A100)
+
+
+def bench_latency(num_calls=200, warmup=20):
+    """Single-obs end-to-end action latency on the release model:
+    raw multi-camera cloud -> workspace crop -> 1 cm voxelize -> robot-box
+    removal -> sample/normalize (host numpy, eval_simple_policy.py:151-251
+    semantics) -> one jitted forward+decode call. Returns (p50_ms, p99_ms)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import RELEASE_PTV3, RELEASE_ACT
+    from robot3dlotus_tpu.models.simple_policy import (
+        SimplePolicyTPU, decode_actions,
+    )
+    from robot3dlotus_tpu.train.trainer import init_variables
+    from robot3dlotus_tpu.train.datasets.store import SyntheticStore
+    from robot3dlotus_tpu.configs.rlbench.constants import get_robot_workspace
+    from robot3dlotus_tpu.ops.voxel import voxelize_pcd_np, workspace_mask_np
+    from robot3dlotus_tpu.utils.robot_box import RobotBox
+
+    N = int(os.environ.get("BENCH_POINTS", "4096"))
+    T = 16
+    model = SimplePolicyTPU(
+        ptv3_cfg=RELEASE_PTV3, act_cfg=RELEASE_ACT, variant="ca")
+    dummy = {
+        "pc_fts": jnp.zeros((1, N, 7), jnp.float32),
+        "pc_mask": jnp.ones((1, N), bool),
+        "pc_counts": jnp.full((1,), N, jnp.int32),
+        "txt_embeds": jnp.zeros((1, T, 512), jnp.float32),
+        "txt_mask": jnp.ones((1, T), bool),
+        "ee_poses": jnp.asarray([[0, 0, 0, 0, 0, 0, 1, 1]], jnp.float32),
+        "step_ids": jnp.zeros((1,), jnp.int32),
+    }
+    variables = init_variables(model, dummy, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(variables, batch):
+        preds = model.apply(variables, batch, deterministic=True)
+        return decode_actions(preds, RELEASE_ACT)
+
+    # raw observation source: synthetic episodes with full arm link info;
+    # tile the cloud up to multi-camera density (~260k raw points)
+    store = SyntheticStore(points_per_step=65536)
+    ep = store.get(store.taskvars()[0], store.episodes("x")[0])
+    ws = get_robot_workspace()
+    rng = np.random.RandomState(0)
+    txt = rng.randn(1, T, 512).astype(np.float32)
+
+    def one_call(step):
+        t = step % len(ep["xyz"])
+        xyz = np.tile(np.asarray(ep["xyz"][t], np.float32), (4, 1))
+        xyz = xyz + rng.randn(*xyz.shape).astype(np.float32) * 0.002
+        rgb = np.tile(np.asarray(ep["rgb"][t], np.float32), (4, 1))
+        keep = workspace_mask_np(xyz, ws, rm_table=True)
+        xyz, rgb = xyz[keep], rgb[keep]
+        xyz, first = voxelize_pcd_np(xyz, 0.01)
+        rgb = rgb[first]
+        box = RobotBox(
+            ({k: np.asarray(v[t]) for k, v in ep["bbox_info"].items()},
+             {k: np.asarray(v[t]) for k, v in ep["pose_info"].items()}),
+            keep_gripper=True)
+        m = ~box.point_mask(xyz)
+        xyz, rgb = xyz[m], rgb[m]
+        if len(xyz) > N:
+            idxs = rng.choice(len(xyz), N, replace=False)
+            xyz, rgb = xyz[idxs], rgb[idxs]
+        height = xyz[:, 2] - ws["TABLE_HEIGHT"]
+        centroid = xyz.mean(0)
+        xyz = xyz - centroid
+        pc_ft = np.concatenate(
+            [xyz, (rgb / 255.0) * 2 - 1, height[:, None]], 1)
+        n = len(pc_ft)
+        pc = np.zeros((1, N, 7), np.float32)
+        pc[0, :n] = pc_ft
+        mask = np.zeros((1, N), bool)
+        mask[0, :n] = True
+        batch = {
+            "pc_fts": jnp.asarray(pc), "pc_mask": jnp.asarray(mask),
+            "pc_counts": jnp.asarray([n], np.int32),
+            "txt_embeds": jnp.asarray(txt),
+            "txt_mask": jnp.ones((1, T), bool),
+            "ee_poses": jnp.asarray(
+                [[0.3, 0, 1.0, 0, 0, 0, 1, 1]], jnp.float32),
+            "step_ids": jnp.zeros((1,), jnp.int32),
+        }
+        action = np.asarray(run(variables, batch))
+        return action
+
+    for i in range(warmup):
+        one_call(i)
+    times = []
+    for i in range(num_calls):
+        t0 = time.perf_counter()
+        one_call(i)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.percentile(times, 50)), float(np.percentile(times, 99))
 
 
 def main():
@@ -51,7 +149,9 @@ def main():
                      num_train_steps=150000, weight_decay=0.05, grad_norm=10,
                      optim="adamw", betas=[0.9, 0.98])
     rng = jax.random.PRNGKey(0)
+    print("bench: init...", file=sys.stderr, flush=True)
     state, _ = create_train_state(model, batch, train_cfg, rng)
+    print("bench: compiling train step...", file=sys.stderr, flush=True)
     step_fn = make_train_step(
         model,
         lambda preds, b: compute_loss(preds, b, RELEASE_ACT, LOSS_CFG),
@@ -63,19 +163,31 @@ def main():
     state, losses = step_fn(state, batch, rng)
     jax.block_until_ready(losses["total"])
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, losses = step_fn(state, batch, rng)
-    jax.block_until_ready(losses["total"])
-    dt = time.perf_counter() - t0
+    # median of repeated windows: single short windows wobbled by ~15%
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    window_sps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, losses = step_fn(state, batch, rng)
+        jax.block_until_ready(losses["total"])
+        window_sps.append(steps * B / (time.perf_counter() - t0))
 
     n_chips = jax.local_device_count()
-    sps_per_chip = (steps * B) / dt / n_chips
+    sps_per_chip = float(np.median(window_sps)) / n_chips
+
+    print(f"bench: train {sps_per_chip:.1f} samples/s/chip; "
+          "latency bench...", file=sys.stderr, flush=True)
+    p50_ms, p99_ms = bench_latency()
+
     print(json.dumps({
         "metric": "train_keystep_samples_per_sec_per_chip",
         "value": round(sps_per_chip, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_per_chip / BASELINE_SAMPLES_PER_SEC, 3),
+        "p50_latency_ms": round(p50_ms, 3),
+        "p99_latency_ms": round(p99_ms, 3),
+        "latency_target_ms": 10.0,
     }))
 
 

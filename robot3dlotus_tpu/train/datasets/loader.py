@@ -92,6 +92,51 @@ class KeystepBatchLoader:
                 return
 
 
+class MetaLoader:
+    """Multi-task loader with ratio sampling — reference MetaLoader parity
+    (train/datasets/loader.py:18-75) minus the NCCL broadcast: instead of
+    rank 0 drawing a task id and broadcasting it, every process seeds an
+    identical RNG and draws the same task sequence deterministically, so
+    all hosts train the same task each step with zero collectives (the
+    TPU-idiomatic replacement for `dist.broadcast(task_id, 0)`).
+
+    `loaders` maps name -> iterable or (iterable, ratio). Iterates forever,
+    yielding (task_name, batch); the drawn task is held constant for
+    `accum_steps` consecutive batches, like the reference.
+    """
+
+    def __init__(self, loaders, accum_steps: int = 1, seed: int = 0):
+        assert isinstance(loaders, dict) and loaders
+        self.names, ratios, self.name2iter, self.name2loader = [], [], {}, {}
+        for n, l in loaders.items():
+            r = 1.0
+            if isinstance(l, tuple):
+                l, r = l
+            self.names.append(n)
+            self.name2loader[n] = l
+            self.name2iter[n] = iter(l)
+            ratios.append(float(r))
+        p = np.asarray(ratios, np.float64)
+        self.probs = p / p.sum()
+        self.accum_steps = max(int(accum_steps), 1)
+        self.rng = np.random.RandomState(seed)
+        self.step = 0
+
+    def __iter__(self):
+        task_id = 0
+        while True:
+            if self.step % self.accum_steps == 0:
+                task_id = int(self.rng.choice(len(self.names), p=self.probs))
+            self.step += 1
+            task = self.names[task_id]
+            try:
+                batch = next(self.name2iter[task])
+            except StopIteration:
+                self.name2iter[task] = iter(self.name2loader[task])
+                batch = next(self.name2iter[task])
+            yield task, batch
+
+
 class PrefetchToDevice:
     """Background thread: host batch -> device (sharded) ahead of compute."""
 

@@ -7,11 +7,19 @@ Parity targets:
   * param groups: no weight decay for biases and norm parameters
     (optim/misc.py:13-55). In this flax tree that means every leaf named
     'bias' and the 'scale'/'bias' leaves of norm modules.
+  * optimizers: adam/adamax/adamw plus the reference's extra family —
+    RAdam (optim/radam.py:7-84), Ralamb = RAdam+LARS trust ratio
+    (optim/ralamb.py:5-98), Lookahead wrapper (optim/lookahead.py:12-55),
+    RangerLars = Lookahead(Ralamb) (optim/rangerlars.py:12-14) — rebuilt
+    as optax gradient transformations (tree-mapped, jit-traceable; no
+    per-parameter Python state).
+  * lr-multiplier param groups (optim/misc.py:26-32: 'rgb_encoder' lr
+    multi) generalised to a {path-substring: multiplier} map.
 """
 from __future__ import annotations
 
 import math
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +74,197 @@ def decay_mask(params):
         lambda path, _: not _is_no_decay(path), params)
 
 
+class _RAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def _radam_coeffs(count, b1, b2):
+    """Rectification coefficients of the reference RAdam (radam.py:50-68).
+
+    Returns (n_sma, step_size) where step_size already folds in the
+    (1-b2^t) factor and 1/(1-b1^t) bias correction, exactly as the
+    reference computes it; when n_sma < 5 the step degrades to
+    unrectified momentum-SGD with size 1/(1-b1^t).
+    """
+    t = count.astype(jnp.float32)
+    b2t = b2 ** t
+    n_max = 2.0 / (1.0 - b2) - 1.0
+    n_sma = n_max - 2.0 * t * b2t / (1.0 - b2t)
+    rect = jnp.sqrt(
+        (1.0 - b2t) * (n_sma - 4.0) / (n_max - 4.0)
+        * (n_sma - 2.0) / jnp.maximum(n_sma, 1e-8)
+        * n_max / (n_max - 2.0))
+    bias1 = 1.0 - b1 ** t
+    step_size = jnp.where(n_sma >= 5.0, rect / bias1, 1.0 / bias1)
+    return n_sma, step_size
+
+
+def scale_by_radam_ref(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+                       decay_mask_tree=None):
+    """Reference-semantics RAdam (optim/radam.py:20-84) as a single
+    transformation. Emits updates in units of -lr * <step>; combine with
+    optax.scale_by_learning_rate. Weight decay here is the reference's
+    coupled form p -= wd*lr*p applied before the step, so it is folded
+    into the emitted update (requires params)."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _RAdamState(
+            jnp.zeros([], jnp.int32), zeros,
+            jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        n_sma, step_size = _radam_coeffs(count, b1, b2)
+
+        def leaf(m, v, p, wd_on):
+            # emitted in "descent" units: scale_by_learning_rate applies -lr
+            adaptive = m / (jnp.sqrt(v) + eps)
+            step = jnp.where(n_sma >= 5.0, adaptive, m)
+            out = step_size * step
+            if weight_decay and wd_on:
+                out = out + weight_decay * p
+            return out
+
+        if decay_mask_tree is not None and weight_decay:
+            new_updates = jax.tree_util.tree_map(
+                leaf, mu, nu, params, decay_mask_tree)
+        else:
+            new_updates = jax.tree_util.tree_map(
+                lambda m, v, p: leaf(m, v, p, bool(weight_decay)),
+                mu, nu, params)
+        return new_updates, _RAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def scale_by_ralamb_ref(b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+                        lr_fn=None, decay_mask_tree=None):
+    """Reference Ralamb = RAdam step with a per-tensor LARS trust ratio
+    (optim/ralamb.py:46-98). The trust ratio depends on the actual lr
+    (candidate new-weight norm), so this transformation takes the lr
+    schedule and emits the FINAL additive update (no outer lr scaling).
+
+    trust = clamp(||p||, 0, 10) / ||p*(1-wd*lr) - lr*ss*step||   (1 if
+    either norm is 0), applied only to the momentum term, matching the
+    reference exactly.
+    """
+    assert lr_fn is not None
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _RAdamState(
+            jnp.zeros([], jnp.int32), zeros,
+            jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        lr = jnp.asarray(lr_fn(state.count), jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        n_sma, step_size = _radam_coeffs(count, b1, b2)
+
+        def leaf(m, v, p, wd_on):
+            step = jnp.where(n_sma >= 5.0, m / (jnp.sqrt(v) + eps), m)
+            p_dec = p - (weight_decay * lr) * p if (weight_decay and wd_on) \
+                else p
+            cand = p_dec - lr * step_size * step
+            radam_norm = jnp.sqrt(jnp.sum(cand.astype(jnp.float32) ** 2))
+            weight_norm = jnp.clip(
+                jnp.sqrt(jnp.sum(p.astype(jnp.float32) ** 2)), 0.0, 10.0)
+            trust = jnp.where(
+                (weight_norm == 0.0) | (radam_norm == 0.0), 1.0,
+                weight_norm / radam_norm)
+            new_p = p_dec - lr * step_size * trust * step
+            return new_p - p
+
+        if decay_mask_tree is not None and weight_decay:
+            new_updates = jax.tree_util.tree_map(
+                leaf, mu, nu, params, decay_mask_tree)
+        else:
+            new_updates = jax.tree_util.tree_map(
+                lambda m, v, p: leaf(m, v, p, bool(weight_decay)),
+                mu, nu, params)
+        return new_updates, _RAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class _LookaheadState(NamedTuple):
+    count: jnp.ndarray
+    initialized: jnp.ndarray
+    slow: Any
+    inner: Any
+
+
+def lookahead_ref(base, alpha=0.5, k=6):
+    """Reference Lookahead wrapper (optim/lookahead.py:12-55): every k
+    fast steps, slow += alpha*(fast - slow) and fast snaps to slow.
+    Quirk preserved: the slow buffer is created lazily AT the first sync
+    (copying the then-current fast weights, lookahead.py:33-36), so the
+    first sync is a no-op. Implemented over updates: fast = p + u; on
+    sync steps the emitted update becomes slow_new - p."""
+
+    def init_fn(params):
+        return _LookaheadState(
+            jnp.zeros([], jnp.int32), jnp.zeros([], bool),
+            jax.tree_util.tree_map(jnp.array, params),
+            base.init(params))
+
+    def update_fn(updates, state, params=None):
+        u, inner = base.update(updates, state.inner, params)
+        count = state.count + 1
+        sync = (count % k) == 0
+
+        def leaf(p, du, s):
+            fast = p + du
+            s_eff = jnp.where(state.initialized, s, fast)
+            slow_new = s_eff + alpha * (fast - s_eff)
+            out = jnp.where(sync, slow_new - p, du)
+            s_out = jnp.where(sync, slow_new, s_eff)
+            return out, s_out
+
+        pairs = jax.tree_util.tree_map(leaf, params, u, state.slow)
+        outs = jax.tree_util.tree_map(
+            lambda t: t[0], pairs, is_leaf=lambda t: isinstance(t, tuple))
+        slows = jax.tree_util.tree_map(
+            lambda t: t[1], pairs, is_leaf=lambda t: isinstance(t, tuple))
+        return outs, _LookaheadState(
+            count, state.initialized | sync, slows, inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _lr_multi_scaler(params, lr_multi):
+    """Per-leaf update multiplier from {path-substring: mult} — the
+    generalisation of the reference's rgb_encoder_lr_multi group
+    (optim/misc.py:26-32)."""
+
+    def leaf_mult(path, _):
+        name = "/".join(str(getattr(p, "key", getattr(p, "name", "")))
+                        for p in path)
+        m = 1.0
+        for frag, mult in lr_multi.items():
+            if frag in name:
+                m = float(mult)
+        return m
+
+    mults = jax.tree_util.tree_map_with_path(leaf_mult, params)
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(),
+        lambda updates, state, params=None: (
+            jax.tree_util.tree_map(lambda u, m: u * m, updates, mults),
+            state))
+
+
 def build_optimizer(params, train_cfg):
     """Returns (optax tx, schedule_fn(step)->decay_rate)."""
     lr = float(train_cfg.get("learning_rate", 1e-4))
@@ -85,11 +284,27 @@ def build_optimizer(params, train_cfg):
         )
 
     opt_name = train_cfg.get("optim", "adamw")
+    mask_tree = decay_mask(params)
     if opt_name == "adamw":
         core = optax.adamw(schedule, b1=betas[0], b2=betas[1],
-                           weight_decay=wd, mask=decay_mask(params))
+                           weight_decay=wd, mask=mask_tree)
     elif opt_name == "adam":
         core = optax.adam(schedule, b1=betas[0], b2=betas[1])
+    elif opt_name == "adamax":
+        core = optax.adamax(schedule, b1=betas[0], b2=betas[1])
+    elif opt_name == "radam":
+        core = optax.chain(
+            scale_by_radam_ref(b1=betas[0], b2=betas[1], weight_decay=wd,
+                               decay_mask_tree=mask_tree),
+            optax.scale_by_learning_rate(schedule))
+    elif opt_name in ("ralamb", "rangerlars"):
+        core = scale_by_ralamb_ref(
+            b1=betas[0], b2=betas[1], weight_decay=wd,
+            lr_fn=schedule, decay_mask_tree=mask_tree)
+        if opt_name == "rangerlars":
+            core = lookahead_ref(
+                core, alpha=float(train_cfg.get("lookahead_alpha", 0.5)),
+                k=int(train_cfg.get("lookahead_k", 6)))
     else:
         raise ValueError(opt_name)
 
@@ -97,6 +312,9 @@ def build_optimizer(params, train_cfg):
     if grad_norm:
         chain.append(optax.clip_by_global_norm(float(grad_norm)))
     chain.append(core)
+    lr_multi = train_cfg.get("lr_multi") or {}
+    if lr_multi:
+        chain.append(_lr_multi_scaler(params, dict(lr_multi)))
     tx = optax.chain(*chain)
 
     accum = int(train_cfg.get("gradient_accumulation_steps", 1) or 1)

@@ -103,3 +103,35 @@ def test_motion_dataset_and_model():
     acts = decode_mp_actions(preds, act)
     assert acts.shape == (2, 3, 9)  # pos3 + quat4 + open + stop
     assert np.isfinite(np.asarray(acts)).all()
+
+
+def test_meta_loader_ratio_sampling():
+    from robot3dlotus_tpu.train.datasets.loader import MetaLoader
+    a = [{"x": i} for i in range(3)]
+    b = [{"x": 100 + i} for i in range(2)]
+    ml = MetaLoader({"a": (a, 3.0), "b": (b, 1.0)}, accum_steps=2, seed=0)
+    names = []
+    it = iter(ml)
+    for _ in range(200):
+        task, batch = next(it)
+        names.append(task)
+    # accum grouping: tasks constant within each pair
+    assert all(names[i] == names[i + 1] for i in range(0, 200, 2))
+    frac_a = names.count("a") / len(names)
+    assert 0.6 < frac_a < 0.9  # ~0.75 expected
+    # determinism across "hosts": same seed -> same task sequence
+    ml2 = MetaLoader({"a": (a, 3.0), "b": (b, 1.0)}, accum_steps=2, seed=0)
+    it2 = iter(ml2)
+    names2 = []
+    for _ in range(200):
+        t, _ = next(it2)
+        names2.append(t)
+    assert names == names2
+
+
+def test_clip_prompt_ensemble():
+    from robot3dlotus_tpu.vlm.clip_encoder import get_prompts_from_label
+    prompts = get_prompts_from_label("red cube")
+    assert len(prompts) == 60
+    assert "A point cloud of red cube." in prompts
+    assert prompts[0] == "red cube."

@@ -1,0 +1,123 @@
+"""Golden tests for the extra optimizers (RAdam / Ralamb / RangerLars)
+against the reference torch implementations (genrobo3d/train/optim/
+{radam,ralamb,rangerlars}.py), plus the lr-multiplier param groups
+(optim/misc.py:26-32).
+
+12 steps with b2=0.999 crosses the RAdam rectification boundary
+(n_sma >= 5 from step 6) and two Lookahead syncs (k=6), so both branches
+of every optimizer are exercised.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tests.conftest import add_reference_to_path, reference_available
+from robot3dlotus_tpu.train.optim import (
+    scale_by_radam_ref, scale_by_ralamb_ref, lookahead_ref,
+    _lr_multi_scaler, build_optimizer,
+)
+
+LR, WD, B1, B2 = 0.05, 0.01, 0.9, 0.999
+STEPS = 12
+
+
+def _problem(seed=0):
+    rng = np.random.RandomState(seed)
+    params = {"w": rng.randn(4, 3).astype(np.float32),
+              "bias": rng.randn(3).astype(np.float32)}
+    grads = [
+        {"w": rng.randn(4, 3).astype(np.float32),
+         "bias": rng.randn(3).astype(np.float32)}
+        for _ in range(STEPS)]
+    return params, grads
+
+
+def _torch_trajectory(opt_name):
+    import torch
+    import sys
+    add_reference_to_path()
+    from genrobo3d.train.optim.radam import RAdam
+    from genrobo3d.train.optim.ralamb import Ralamb
+    from genrobo3d.train.optim.rangerlars import RangerLars
+
+    params0, grads = _problem()
+    w = torch.nn.Parameter(torch.tensor(params0["w"]))
+    b = torch.nn.Parameter(torch.tensor(params0["bias"]))
+    groups = [{"params": [w], "weight_decay": WD, "lr": LR},
+              {"params": [b], "weight_decay": 0.0, "lr": LR}]
+    cls = {"radam": RAdam, "ralamb": Ralamb, "rangerlars": RangerLars}
+    opt = cls[opt_name](groups, lr=LR, betas=(B1, B2))
+    for g in grads:
+        w.grad = torch.tensor(g["w"])
+        b.grad = torch.tensor(g["bias"])
+        opt.step()
+    return {"w": w.detach().numpy(), "bias": b.detach().numpy()}
+
+
+def _jax_trajectory(opt_name):
+    params0, grads = _problem()
+    params = jax.tree_util.tree_map(jnp.asarray, params0)
+    mask = {"w": True, "bias": False}
+    if opt_name == "radam":
+        tx = optax.chain(
+            scale_by_radam_ref(b1=B1, b2=B2, weight_decay=WD,
+                               decay_mask_tree=mask),
+            optax.scale_by_learning_rate(LR))
+    else:
+        tx = scale_by_ralamb_ref(b1=B1, b2=B2, weight_decay=WD,
+                                 lr_fn=lambda s: LR, decay_mask_tree=mask)
+        if opt_name == "rangerlars":
+            tx = lookahead_ref(tx, alpha=0.5, k=6)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, g):
+        u, state = tx.update(g, state, params)
+        return optax.apply_updates(params, u), state
+
+    for g in grads:
+        params, state = step(params, state,
+                             jax.tree_util.tree_map(jnp.asarray, g))
+    return jax.tree_util.tree_map(np.asarray, params)
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+@pytest.mark.parametrize("opt_name", ["radam", "ralamb", "rangerlars"])
+def test_optimizer_matches_reference(opt_name):
+    ref = _torch_trajectory(opt_name)
+    ours = _jax_trajectory(opt_name)
+    for k in ref:
+        # fp32 trajectory over 12 steps; the LARS trust ratio amplifies
+        # accumulation noise, hence the looser tolerance
+        np.testing.assert_allclose(ours[k], ref[k], atol=5e-4, rtol=1e-4)
+
+
+def test_lr_multi_scaler():
+    params = {"rgb_encoder": {"kernel": jnp.ones((2, 2))},
+              "head": {"kernel": jnp.ones((2, 2))}}
+    tx = _lr_multi_scaler(params, {"rgb_encoder": 10.0})
+    u = jax.tree_util.tree_map(jnp.ones_like, params)
+    out, _ = tx.update(u, tx.init(params), params)
+    assert float(out["rgb_encoder"]["kernel"][0, 0]) == 10.0
+    assert float(out["head"]["kernel"][0, 0]) == 1.0
+
+
+@pytest.mark.parametrize("opt_name",
+                         ["adamax", "radam", "ralamb", "rangerlars"])
+def test_build_optimizer_dispatch(opt_name):
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros(3)}}
+    cfg = dict(learning_rate=1e-3, optim=opt_name, weight_decay=0.01,
+               grad_norm=5.0, lr_sched="cosine", warmup_steps=2,
+               num_train_steps=10, lr_multi={"dense": 2.0})
+    tx, sched = build_optimizer(params, cfg)
+    state = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    new = params
+    for _ in range(4):  # past warmup so the lr is non-negligible
+        u, state = tx.update(g, state, new)
+        new = optax.apply_updates(new, u)
+    k = np.asarray(new["dense"]["kernel"])
+    assert np.all(np.isfinite(k))
+    assert not np.allclose(k, 1.0)

@@ -165,3 +165,21 @@ def test_neighbor_map_and_conv():
                 if j is not None:
                     acc = acc + feat[b, j] @ w[k]
             np.testing.assert_allclose(out[b, i], acc, rtol=2e-3, atol=1e-3)
+
+
+def test_farthest_point_sample_matches_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from robot3dlotus_tpu.ops.sampling import (
+        farthest_point_sample, farthest_point_sample_np)
+    rng = np.random.RandomState(3)
+    pts = rng.randn(200, 6).astype(np.float32)
+    ref = farthest_point_sample_np(pts, 32, start=7)
+    idxs = np.asarray(farthest_point_sample(jnp.asarray(pts[:, :3]), 32,
+                                            start=7))
+    np.testing.assert_allclose(pts[idxs], ref, atol=1e-6)
+    # masked variant never selects padded slots
+    mask = np.ones(200, bool); mask[150:] = False
+    idxs = np.asarray(farthest_point_sample(
+        jnp.asarray(pts[:, :3]), 32, mask=jnp.asarray(mask), start=7))
+    assert idxs.max() < 150
