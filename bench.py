@@ -163,6 +163,16 @@ def main():
     state, losses = step_fn(state, batch, rng)
     jax.block_until_ready(losses["total"])
 
+    # XLA's own FLOP estimate for the whole train step (fwd+bwd+optimizer);
+    # step_fn is already jit-wrapped, so lower() reuses the cached program
+    step_flops = None
+    try:
+        ca = step_fn.lower(state, batch, rng).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     # median of repeated windows: single short windows wobbled by ~15%
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     window_sps = []
@@ -180,7 +190,7 @@ def main():
           "latency bench...", file=sys.stderr, flush=True)
     p50_ms, p99_ms = bench_latency()
 
-    print(json.dumps({
+    rec = {
         "metric": "train_keystep_samples_per_sec_per_chip",
         "value": round(sps_per_chip, 2),
         "unit": "samples/s/chip",
@@ -188,7 +198,17 @@ def main():
         "p50_latency_ms": round(p50_ms, 3),
         "p99_latency_ms": round(p99_ms, 3),
         "latency_target_ms": 10.0,
-    }))
+    }
+    if step_flops:
+        steps_per_sec = sps_per_chip / B
+        kind = jax.devices()[0].device_kind.lower()
+        # bf16 MXU peak per chip (the standard MFU denominator)
+        peak = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
+                "v5p": 459e12, "v6": 918e12, "cpu": 1e12}
+        peak_flops = next((v for k, v in peak.items() if k in kind), 197e12)
+        rec["flops_per_step"] = step_flops
+        rec["mfu"] = round(step_flops * steps_per_sec / peak_flops, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

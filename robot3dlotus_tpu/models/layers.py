@@ -20,9 +20,11 @@ from ..ops.sparse_conv import NeighborMap, subm_conv_apply, stencil_offsets
 trunc_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
-def dense(features, name=None, use_bias=True):
+def dense(features, name=None, use_bias=True, dtype=None):
+    """dtype is the flax computation dtype: params stay fp32, inputs and
+    params are cast to it for the matmul (bfloat16 on the MXU hot path)."""
     return nn.Dense(features, use_bias=use_bias, kernel_init=trunc_init,
-                    bias_init=nn.initializers.zeros, name=name)
+                    bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 def gelu(x):
@@ -80,8 +82,8 @@ class MaskedBatchNorm(nn.Module):
                     self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + \
                     self.momentum * unbiased
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class LayerNorm(nn.Module):
@@ -108,6 +110,7 @@ class AdaptiveNorm(nn.Module):
     kind: str  # 'bn' | 'ln'
     adaptive: bool = False
     context_channels: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, context=None, use_running_average=False):
@@ -118,9 +121,9 @@ class AdaptiveNorm(nn.Module):
             y = LayerNorm(self.features, name="norm")(x)
         if self.adaptive:
             assert context is not None
-            mod = dense(2 * self.features, name="modulation")(
-                jax.nn.silu(context))
-            shift, scale = jnp.split(mod, 2, axis=-1)
+            mod = dense(2 * self.features, name="modulation",
+                        dtype=self.dtype)(jax.nn.silu(context))
+            shift, scale = jnp.split(mod.astype(y.dtype), 2, axis=-1)
             # context is per cloud: broadcast over the point axis
             y = y * (1.0 + scale[:, None, :]) + shift[:, None, :]
         return y
@@ -131,13 +134,14 @@ class MLP(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        x = dense(self.hidden, name="fc1")(x)
+        x = dense(self.hidden, name="fc1", dtype=self.dtype)(x)
         x = gelu(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = dense(self.out, name="fc2")(x)
+        x = dense(self.out, name="fc2", dtype=self.dtype)(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -148,6 +152,7 @@ class SubMConv(nn.Module):
     features: int
     kernel_size: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, nmap: NeighborMap):
@@ -161,6 +166,9 @@ class SubMConv(nn.Module):
         weight = self.param("weight", w_init, (K, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
             if self.use_bias else None
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
         return subm_conv_apply(x, nmap, weight, bias)
 
 
@@ -182,6 +190,7 @@ class SerializedAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     upcast_softmax: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat, order, inverse, src_pos, key_valid,
@@ -193,7 +202,7 @@ class SerializedAttention(nn.Module):
         scale = self.qk_scale or Dh ** -0.5
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_init,
-                       name="qkv")(feat)
+                       name="qkv", dtype=self.dtype)(feat)
         o = order[self.order_index]
         inv = inverse[self.order_index]
         qkv = gather_sorted(qkv, o, src_pos)  # (B, N, 3C) serialized order
@@ -216,9 +225,9 @@ class SerializedAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bnhpq,bnqhd->bnphd", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
-        out = out.reshape(B, N, C)
+        out = out.reshape(B, N, C).astype(qkv.dtype)
         out = scatter_back(out, inv)
-        out = dense(C, name="proj")(out)
+        out = dense(C, name="proj", dtype=self.dtype)(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -231,6 +240,7 @@ class CrossAttention(nn.Module):
     qk_norm: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat, context, context_mask, deterministic=True):
@@ -238,8 +248,8 @@ class CrossAttention(nn.Module):
         H = self.num_heads
         Dh = C // H
         scale = Dh ** -0.5
-        q = dense(C, name="q")(feat).reshape(B, N, H, Dh)
-        kv = dense(2 * C, name="kv")(context).reshape(
+        q = dense(C, name="q", dtype=self.dtype)(feat).reshape(B, N, H, Dh)
+        kv = dense(2 * C, name="kv", dtype=self.dtype)(context).reshape(
             B, context.shape[1], 2, H, Dh)
         k, v = kv[:, :, 0], kv[:, :, 1]
         if self.qk_norm:
@@ -253,8 +263,8 @@ class CrossAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bnth,bthd->bnhd", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
-        out = out.reshape(B, N, C)
-        out = dense(C, name="proj")(out)
+        out = out.reshape(B, N, C).astype(q.dtype)
+        out = dense(C, name="proj", dtype=self.dtype)(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -276,6 +286,7 @@ class Block(nn.Module):
     pre_norm: bool = True
     norm_adaptive: bool = False
     upcast_softmax: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat, pc_aux, context_vec=None, deterministic=True,
@@ -290,12 +301,14 @@ class Block(nn.Module):
         so decoder stages pass the skip features here for block 0."""
         def norm(name):
             return AdaptiveNorm(self.channels, kind="ln",
-                                adaptive=self.norm_adaptive, name=name)
+                                adaptive=self.norm_adaptive, name=name,
+                                dtype=self.dtype)
 
         # CPE: conv -> linear -> LN, residual (model.py:615-625, 659-662)
-        cpe = SubMConv(self.channels, 3, use_bias=True, name="cpe_conv")(
+        cpe = SubMConv(self.channels, 3, use_bias=True, name="cpe_conv",
+                       dtype=self.dtype)(
             feat if cpe_feat is None else cpe_feat, pc_aux["cpe_nmap"])
-        cpe = dense(self.channels, name="cpe_fc")(cpe)
+        cpe = dense(self.channels, name="cpe_fc", dtype=self.dtype)(cpe)
         cpe = LayerNorm(self.channels, name="cpe_norm")(cpe)
         feat = feat + cpe
 
@@ -308,6 +321,7 @@ class Block(nn.Module):
             qk_scale=self.qk_scale, qk_norm=self.qk_norm,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax, name="attn",
+            dtype=self.dtype,
         )(x, pc_aux["order"], pc_aux["inverse"], pc_aux["src_pos"],
           pc_aux["key_valid"], deterministic=deterministic)
         if self.drop_path > 0:
@@ -319,7 +333,8 @@ class Block(nn.Module):
         x = norm("norm2")(feat, mask=pc_aux["mask"], context=context_vec,
                           use_running_average=deterministic)
         x = MLP(int(self.channels * self.mlp_ratio), self.channels,
-                drop=self.proj_drop, name="mlp")(x, deterministic=deterministic)
+                drop=self.proj_drop, name="mlp", dtype=self.dtype)(
+            x, deterministic=deterministic)
         if self.drop_path > 0:
             x = drop_path(x, self.drop_path, deterministic,
                           self.make_rng("dropout"))
@@ -337,20 +352,22 @@ class CABlock(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     norm_adaptive: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat, context, context_mask, pc_aux, context_vec=None,
                  deterministic=True):
         def norm(name):
             return AdaptiveNorm(self.channels, kind="ln",
-                                adaptive=self.norm_adaptive, name=name)
+                                adaptive=self.norm_adaptive, name=name,
+                                dtype=self.dtype)
 
         shortcut = feat
         x = norm("norm1")(feat, mask=pc_aux["mask"], context=context_vec,
                           use_running_average=deterministic)
         x = CrossAttention(self.channels, self.num_heads, qk_norm=self.qk_norm,
                            attn_drop=self.attn_drop, proj_drop=self.proj_drop,
-                           name="attn")(
+                           name="attn", dtype=self.dtype)(
             x, context, context_mask, deterministic=deterministic)
         feat = shortcut + x
 
@@ -358,6 +375,7 @@ class CABlock(nn.Module):
         x = norm("norm2")(feat, mask=pc_aux["mask"], context=context_vec,
                           use_running_average=deterministic)
         x = MLP(int(self.channels * self.mlp_ratio), self.channels,
-                drop=self.proj_drop, name="mlp")(x, deterministic=deterministic)
+                drop=self.proj_drop, name="mlp", dtype=self.dtype)(
+            x, deterministic=deterministic)
         feat = shortcut + x
         return feat

@@ -23,7 +23,7 @@ see SURVEY.md §7):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,14 +54,16 @@ class SerializedPoolingTPU(nn.Module):
     features: int
     reduce: str = "max"
     norm_adaptive: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat_sorted, maps, child_cap, child_mask,
                  context_vec=None, deterministic=True):
-        x = dense(self.features, name="proj")(feat_sorted)
+        x = dense(self.features, name="proj", dtype=self.dtype)(feat_sorted)
         x = segment_reduce(x, maps, child_cap, self.reduce)
         x = AdaptiveNorm(self.features, kind="bn",
-                         adaptive=self.norm_adaptive, name="norm")(
+                         adaptive=self.norm_adaptive, name="norm",
+                         dtype=self.dtype)(
             x, mask=child_mask, context=context_vec,
             use_running_average=deterministic)
         x = gelu(x)
@@ -73,19 +75,23 @@ class SerializedUnpoolingTPU(nn.Module):
     Linear -> BN -> GELU (reference model.py:793-828)."""
     features: int
     norm_adaptive: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, child_feat, child_mask, parent_feat, parent_mask,
                  cluster, child_cap, context_vec=None, deterministic=True):
-        x = dense(self.features, name="proj_fc")(child_feat)
+        x = dense(self.features, name="proj_fc", dtype=self.dtype)(child_feat)
         x = AdaptiveNorm(self.features, kind="bn",
-                         adaptive=self.norm_adaptive, name="proj_norm")(
+                         adaptive=self.norm_adaptive, name="proj_norm",
+                         dtype=self.dtype)(
             x, mask=child_mask, context=context_vec,
             use_running_average=deterministic)
         x = gelu(x)
-        skip = dense(self.features, name="proj_skip_fc")(parent_feat)
+        skip = dense(self.features, name="proj_skip_fc",
+                     dtype=self.dtype)(parent_feat)
         skip = AdaptiveNorm(self.features, kind="bn",
-                            adaptive=self.norm_adaptive, name="proj_skip_norm")(
+                            adaptive=self.norm_adaptive, name="proj_skip_norm",
+                            dtype=self.dtype)(
             skip, mask=parent_mask, context=context_vec,
             use_running_average=deterministic)
         skip = gelu(skip)
@@ -129,6 +135,17 @@ class PointTransformerV3TPU(nn.Module):
     # stem stencil size (reference model.py:845-852 uses k=5; shrinkable for
     # fast-compile dry runs / tests)
     stem_kernel: int = 5
+    # computation dtype of the residual stream and all matmuls ('bfloat16'
+    # doubles MXU throughput and halves HBM traffic; params, norm statistics,
+    # softmax, and backbone outputs stay float32). None/'float32' = exact
+    # fp32 path for parity tests and checkpoint-converted eval.
+    compute_dtype: Optional[str] = None
+
+    @property
+    def _dtype(self):
+        if self.compute_dtype in (None, "float32", "fp32"):
+            return None
+        return jnp.dtype(self.compute_dtype)
 
     def _stage_caps(self, n0):
         caps = [n0]
@@ -171,15 +188,21 @@ class PointTransformerV3TPU(nn.Module):
             codes = codes[perm]
 
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
+        dt = self._dtype
         stem_nmap = build_neighbor_map(grid_coord, mask, self.stem_kernel,
                                        depth0)
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
-                     name="embedding_stem_conv")(feat, stem_nmap)
+                     name="embedding_stem_conv", dtype=dt)(feat, stem_nmap)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
-                         adaptive=self.norm_adaptive, name="embedding_norm")(
+                         adaptive=self.norm_adaptive, name="embedding_norm",
+                         dtype=dt)(
             x, mask=mask, context=context_vec,
             use_running_average=deterministic)
         x = gelu(x)
+        if dt is not None:
+            x = x.astype(dt)
+            if context is not None:
+                context = context.astype(dt)
 
         # encoder
         enc_dp = _linspace(0.0, self.drop_path, sum(self.enc_depths))
@@ -211,7 +234,7 @@ class PointTransformerV3TPU(nn.Module):
                     attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                     drop_path=blk_dp, order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
-                    upcast_softmax=self.upcast_softmax,
+                    upcast_softmax=self.upcast_softmax, dtype=dt,
                     name=f"enc{s}_block{i}",
                 )(cur["feat"], aux, context_vec=context_vec,
                   deterministic=deterministic)
@@ -220,7 +243,7 @@ class PointTransformerV3TPU(nn.Module):
                         self.enc_channels[s], self.enc_num_head[s],
                         mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
                         attn_drop=self.attn_drop, proj_drop=self.proj_drop,
-                        norm_adaptive=self.norm_adaptive,
+                        norm_adaptive=self.norm_adaptive, dtype=dt,
                         name=f"enc{s}_cablock{i}",
                     )(cur["feat"], context, context_mask, aux,
                       context_vec=context_vec, deterministic=deterministic)
@@ -236,7 +259,7 @@ class PointTransformerV3TPU(nn.Module):
             cluster, child_cap = pool_records[s]
             feat_s, skip_s = SerializedUnpoolingTPU(
                 dec_channels[s], norm_adaptive=self.norm_adaptive,
-                name=f"dec{s}_up",
+                dtype=dt, name=f"dec{s}_up",
             )(cur["feat"], cur["mask"], parent["feat"], parent["mask"],
               cluster, child_cap, context_vec=context_vec,
               deterministic=deterministic)
@@ -254,7 +277,7 @@ class PointTransformerV3TPU(nn.Module):
                     attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                     drop_path=dp_slice[i], order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
-                    upcast_softmax=self.upcast_softmax,
+                    upcast_softmax=self.upcast_softmax, dtype=dt,
                     name=f"dec{s}_block{i}",
                 )(cur["feat"], aux, context_vec=context_vec,
                   deterministic=deterministic,
@@ -266,7 +289,7 @@ class PointTransformerV3TPU(nn.Module):
                         dec_channels[s], self.dec_num_head[s],
                         mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
                         attn_drop=self.attn_drop, proj_drop=self.proj_drop,
-                        norm_adaptive=self.norm_adaptive,
+                        norm_adaptive=self.norm_adaptive, dtype=dt,
                         name=f"dec{s}_cablock{i}",
                     )(cur["feat"], context, context_mask, aux,
                       context_vec=context_vec, deterministic=deterministic)
@@ -296,7 +319,7 @@ class PointTransformerV3TPU(nn.Module):
 
         new_feat = SerializedPoolingTPU(
             self.enc_channels[s], norm_adaptive=self.norm_adaptive,
-            name=f"enc{s}_down",
+            dtype=self._dtype, name=f"enc{s}_down",
         )(feat_sorted, maps, child_cap, maps.child_mask,
           context_vec=context_vec, deterministic=deterministic)
         new_coord = segment_reduce(coord_sorted, maps, child_cap, "mean")
@@ -323,9 +346,11 @@ class PointTransformerV3TPU(nn.Module):
 
     @staticmethod
     def _pack(cur):
+        # heads and losses always consume float32 regardless of the
+        # backbone compute dtype
         return {
-            "feat": cur["feat"], "coord": cur["coord"], "mask": cur["mask"],
-            "counts": cur["counts"],
+            "feat": cur["feat"].astype(jnp.float32), "coord": cur["coord"],
+            "mask": cur["mask"], "counts": cur["counts"],
         }
 
 

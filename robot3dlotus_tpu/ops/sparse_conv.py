@@ -85,7 +85,9 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None):
     )
     if bias is not None:
         out = out + bias
-    return out
+    # accumulation is fp32 (preferred_element_type); return in the stream
+    # dtype so a bfloat16 residual stream stays bfloat16
+    return out.astype(feat.dtype)
 
 
 def _gather_neighbors(feat, idx):

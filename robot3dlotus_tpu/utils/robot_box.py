@@ -71,15 +71,32 @@ class RobotBox:
         rot = R.from_quat(pose[3:7]).as_matrix()
         extent = np.asarray(bbox[1::2]) - np.asarray(bbox[::2])
         self.boxes.append((pose[:3], rot, extent))
+        self._stacked = None
+
+    def _stack(self):
+        # fold all K link boxes into ONE (3, 3K) rotation matrix plus a
+        # (3K,) offset so point_mask is a single BLAS gemm instead of a
+        # Python loop per box: (p - c_k) @ R_k == p @ R_k - c_k @ R_k
+        # (this runs per sample in the training-data hot path)
+        if self._stacked is None:
+            k = len(self.boxes)
+            rot_cat = np.concatenate([b[1] for b in self.boxes], axis=1)
+            off = np.concatenate(
+                [b[0] @ b[1] for b in self.boxes])          # (3K,)
+            half = np.concatenate(
+                [b[2] / 2 + 1e-12 for b in self.boxes])     # (3K,)
+            self._stacked = (rot_cat, off, half, k)
+        return self._stacked
 
     def point_mask(self, xyz):
         """(N, 3) -> bool mask, True where a point is inside ANY link box."""
         xyz = np.asarray(xyz, np.float64)
-        inside = np.zeros(xyz.shape[0], dtype=bool)
-        for center, rot, extent in self.boxes:
-            local = (xyz - center) @ rot  # R^T (p - c), row-vector form
-            inside |= np.all(np.abs(local) <= extent / 2 + 1e-12, axis=1)
-        return inside
+        if not self.boxes:
+            return np.zeros(xyz.shape[0], dtype=bool)
+        rot_cat, off, half, k = self._stack()
+        local = xyz @ rot_cat - off                          # (N, 3K)
+        inside = np.abs(local) <= half
+        return inside.reshape(len(xyz), k, 3).all(-1).any(-1)
 
     def get_pc_overlap_ratio(self, xyz=None, return_indices=False):
         inside = self.point_mask(xyz)

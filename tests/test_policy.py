@@ -120,3 +120,41 @@ def test_eval_decode_shapes_and_padding_invariance():
     preds2 = model.apply(variables, batch2, deterministic=True)
     a2 = np.asarray(decode_actions(preds2, ACT_CFG))
     np.testing.assert_allclose(a, a2, atol=2e-4)
+
+
+def test_bfloat16_compute_path_close_to_fp32():
+    """compute_dtype='bfloat16' must keep the identical param tree and
+    produce outputs close to the fp32 path (same weights)."""
+    tiny = dict(
+        in_channels=6, orders=("z", "z-trans"), enc_depths=(1, 1),
+        enc_channels=(16, 32), enc_num_head=(2, 2), enc_patch_size=(16, 16),
+        stride=(2,), dec_depths=(1,), dec_channels=(16,), dec_num_head=(2,),
+        dec_patch_size=(16,), qk_norm=True, attn_drop=0.0, proj_drop=0.0,
+        shuffle_orders=False, serial_depth=5, stem_kernel=3)
+    act = dict(ACT_CFG, dropout=0.0)
+    batch = fake_batch(B=2, N=64, T=4)
+    key = jax.random.PRNGKey(0)
+    m32 = SimplePolicyTPU(ptv3_cfg=tiny, act_cfg=act, variant="ca")
+    mbf = SimplePolicyTPU(ptv3_cfg=dict(tiny, compute_dtype="bfloat16"),
+                          act_cfg=act, variant="ca")
+    v = jax.jit(lambda b: m32.init(
+        {"params": key, "dropout": key, "shuffle": key},
+        b, deterministic=True))(batch)
+    vb = jax.eval_shape(lambda b: mbf.init(
+        {"params": key, "dropout": key, "shuffle": key},
+        b, deterministic=True), batch)
+    assert (jax.tree_util.tree_map(lambda x: x.shape, v)
+            == jax.tree_util.tree_map(lambda x: x.shape, vb))
+
+    p32 = jax.jit(lambda v, b: m32.apply(v, b, deterministic=True))(v, batch)
+    pbf = jax.jit(lambda v, b: mbf.apply(v, b, deterministic=True))(v, batch)
+    for k in ("pos", "rot", "open"):
+        a = np.asarray(p32[k], np.float32)
+        b = np.asarray(pbf[k], np.float32)
+        assert np.asarray(pbf[k]).dtype == np.float32  # heads stay fp32
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 0.08, k
+
+    l32 = compute_loss(p32, batch, act, LOSS_CFG)["total"]
+    lbf = compute_loss(pbf, batch, act, LOSS_CFG)["total"]
+    assert abs(float(l32) - float(lbf)) / max(abs(float(l32)), 1e-6) < 0.05
