@@ -1,8 +1,9 @@
 """Benchmark: train keystep samples/sec/chip for the flagship 3D-LOTUS CA
 policy at the release training configuration (4096 points, voxel1cm,
 job_scripts/train_3dlotus_policy.sh), plus single-observation inference
-latency (p50/p99 over >=200 calls of host preprocess + jitted forward +
-fully on-device decode — the north-star <10 ms p50 target, BASELINE.md).
+latency (p50/p99 over BENCH_LAT_CALLS calls of host preprocess + jitted
+forward + on-device decode + action readback — the north-star <10 ms p50
+target, BASELINE.md; see BENCH_NOTES.md for the platform reality).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -23,11 +24,15 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 150000 * 8 / (14 * 3600)  # 23.81 (1x A100)
 
 
-def bench_latency(num_calls=200, warmup=20):
+def bench_latency(num_calls=None, warmup=5):
     """Single-obs end-to-end action latency on the release model:
     raw multi-camera cloud -> workspace crop -> 1 cm voxelize -> robot-box
     removal -> sample/normalize (host numpy, eval_simple_policy.py:151-251
-    semantics) -> one jitted forward+decode call. Returns (p50_ms, p99_ms)."""
+    semantics) -> one jitted forward+decode call -> action readback to host
+    (the robot needs the action on the host, so the device->host fetch is
+    part of the metric). Returns (p50_ms, p99_ms)."""
+    if num_calls is None:
+        num_calls = int(os.environ.get("BENCH_LAT_CALLS", "50"))
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import RELEASE_PTV3, RELEASE_ACT
@@ -140,10 +145,14 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "16"))
     N = int(os.environ.get("BENCH_POINTS", "4096"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
 
+    # training runs the backbone in bfloat16 (the TPU-first configuration;
+    # fp32 master params, fp32 losses — see models/ptv3.py compute_dtype)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = SimplePolicyTPU(
-        ptv3_cfg=RELEASE_PTV3, act_cfg=RELEASE_ACT, variant="ca")
+        ptv3_cfg=dict(RELEASE_PTV3, compute_dtype=dtype),
+        act_cfg=RELEASE_ACT, variant="ca")
     batch = _fake_batch(B=B, N=N, T=16, pos_bins=RELEASE_ACT["pos_bins"])
     train_cfg = dict(learning_rate=1e-4, lr_sched="cosine", warmup_steps=2000,
                      num_train_steps=150000, weight_decay=0.05, grad_norm=10,
@@ -157,11 +166,17 @@ def main():
         lambda preds, b: compute_loss(preds, b, RELEASE_ACT, LOSS_CFG),
         mesh=None, donate=True)
 
-    # warmup / compile
+    # warmup / compile. NOTE: completion is forced with a host readback of
+    # the loss scalar, NOT jax.block_until_ready — on the axon-tunneled TPU
+    # of this rig block_until_ready returns before the device work is done
+    # (measured: 20 enqueued train steps "complete" in 94 ms while the
+    # final readback then takes 177 s), which made earlier rounds report
+    # enqueue rate instead of throughput. A scalar readback costs one
+    # tunnel RTT (~27 ms), negligible against the step time.
     state, losses = step_fn(state, batch, rng)
-    jax.block_until_ready(losses["total"])
+    float(losses["total"])
     state, losses = step_fn(state, batch, rng)
-    jax.block_until_ready(losses["total"])
+    float(losses["total"])
 
     # XLA's own FLOP estimate for the whole train step (fwd+bwd+optimizer);
     # step_fn is already jit-wrapped, so lower() reuses the cached program
@@ -173,14 +188,15 @@ def main():
     except Exception:
         pass
 
-    # median of repeated windows: single short windows wobbled by ~15%
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # median of repeated windows; one loss readback per window forces true
+    # completion of the whole window while still allowing step pipelining
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     window_sps = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, losses = step_fn(state, batch, rng)
-        jax.block_until_ready(losses["total"])
+        float(losses["total"])
         window_sps.append(steps * B / (time.perf_counter() - t0))
 
     n_chips = jax.local_device_count()

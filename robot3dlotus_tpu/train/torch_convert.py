@@ -198,10 +198,11 @@ def _spconv_to_flax(w, layout="out_k_in"):
     raise ValueError(layout)
 
 
-def _flax_to_spconv(w, kernel_size, layout="out_k_in"):
+def _flax_to_spconv(w, layout="out_k_in"):
     w = np.asarray(w)  # (K, in, out)
     K, in_c, out_c = w.shape
-    k = kernel_size
+    k = round(K ** (1.0 / 3.0))  # stencil edge from K = k^3
+    assert k ** 3 == K, (K, k)
     if layout == "out_k_in":
         return w.transpose(2, 0, 1).reshape(out_c, k, k, k, in_c)
     return w.reshape(k, k, k, in_c, out_c)
@@ -241,7 +242,6 @@ def flax_to_torch(params, batch_stats, model_cfg, spconv_layout="out_k_in"):
     flat_p = flatten_tree(params)
     flat_b = flatten_tree(batch_stats)
     out = {}
-    kernel_sizes = {"embedding_stem_conv": 5}
     for tname, (fpath, tf) in name_map.items():
         if fpath.startswith("BS:"):
             src = flat_b.get(fpath[3:])
@@ -253,8 +253,7 @@ def flax_to_torch(params, batch_stats, model_cfg, spconv_layout="out_k_in"):
         if tf == "t":
             w = w.T
         elif tf == "spconv":
-            k = 5 if "stem" in fpath else 3
-            w = _flax_to_spconv(w, k, spconv_layout)
+            w = _flax_to_spconv(w, spconv_layout)
         out[tname] = w
     return out
 
