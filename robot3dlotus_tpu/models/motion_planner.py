@@ -194,6 +194,7 @@ class MotionPlannerTPU(nn.Module):
         return {
             "pos": xt, "rot": xr, "open": xo, "stop": xstop,
             "final_coord": final["coord"], "final_mask": final["mask"],
+            "pool_overflow": outs[0].get("pool_overflow", 0),
         }
 
 
@@ -258,8 +259,11 @@ def compute_mp_loss(preds, batch, act_cfg, loss_cfg):
 
     total = loss_cfg.get("pos_weight", 1.0) * pos_loss + \
         loss_cfg.get("rot_weight", 1.0) * rot_loss + open_loss + stop_loss
-    return {"pos": pos_loss, "rot": rot_loss, "open": open_loss,
-            "stop": stop_loss, "total": total}
+    out = {"pos": pos_loss, "rot": rot_loss, "open": open_loss,
+           "stop": stop_loss, "total": total}
+    if "pool_overflow" in preds:  # monitored, never part of total
+        out["pool_overflow"] = jnp.asarray(preds["pool_overflow"], jnp.float32)
+    return out
 
 
 def decode_mp_actions(preds, act_cfg):

@@ -173,6 +173,7 @@ class PointTransformerV3TPU(nn.Module):
         B, N0, _ = feat.shape
         caps = self._stage_caps(N0)
         depth0 = self.serial_depth
+        pool_overflow = jnp.zeros((), jnp.int32)
 
         grid_coord = compute_grid_coord(coord, mask, self.grid_size, depth0)
         codes = serialize_codes(grid_coord, mask, depth0, self.orders)
@@ -215,9 +216,10 @@ class PointTransformerV3TPU(nn.Module):
         pool_records = []  # (cluster, parent stage index)
         for s in range(num_stages):
             if s > 0:
-                cur, record = self._pool(
+                cur, record, overflow = self._pool(
                     s, cur, caps[s], context_vec, deterministic,
                     prev_aux=stage_state[-1]["aux"])
+                pool_overflow = pool_overflow + overflow
                 pool_records.append(record)
             aux = self._make_aux(
                 cur["codes"], cur["counts"], cur["cap"],
@@ -250,6 +252,7 @@ class PointTransformerV3TPU(nn.Module):
             stage_state.append(dict(cur))
 
         outputs = [self._pack(cur)]
+        outputs[0]["pool_overflow"] = pool_overflow
 
         # decoder (reference model.py:1012-1063)
         dec_dp = _linspace(0.0, self.drop_path, sum(self.dec_depths))
@@ -335,6 +338,10 @@ class PointTransformerV3TPU(nn.Module):
             perm = jax.random.permutation(self.make_rng("shuffle"),
                                           len(self.orders))
             new_codes = new_codes[perm]
+        # silent-drop telemetry: segments beyond child_cap lose geometry
+        # (ops/pooling.py:48-49); surfaced per stage so training logs show
+        # a nonzero pool_overflow instead of silently degrading
+        overflow = jnp.sum(jnp.maximum(maps.child_counts - child_cap, 0))
         new_counts = jnp.minimum(maps.child_counts, child_cap)
         new_cur = {
             "feat": new_feat, "coord": new_coord, "grid_coord": new_gc,
@@ -342,7 +349,7 @@ class PointTransformerV3TPU(nn.Module):
             "codes": new_codes, "depth": max(cur["depth"] - 1, 1),
             "cap": child_cap,
         }
-        return new_cur, (maps.cluster, child_cap)
+        return new_cur, (maps.cluster, child_cap), overflow
 
     @staticmethod
     def _pack(cur):

@@ -141,6 +141,7 @@ class SimplePolicyTPU(nn.Module):
             "pos": xt, "rot": xr, "open": xo,
             "final_coord": final["coord"], "final_mask": final["mask"],
             "dec_layers": outs,
+            "pool_overflow": outs[0].get("pool_overflow", 0),
         }
 
 
@@ -213,8 +214,11 @@ def compute_loss(preds, batch, act_cfg, loss_cfg):
 
     total = loss_cfg.get("pos_weight", 1.0) * pos_loss + \
         loss_cfg.get("rot_weight", 1.0) * rot_loss + open_loss
-    return {"pos": pos_loss, "rot": rot_loss, "open": open_loss,
-            "total": total}
+    out = {"pos": pos_loss, "rot": rot_loss, "open": open_loss,
+           "total": total}
+    if "pool_overflow" in preds:  # monitored, never part of total
+        out["pool_overflow"] = jnp.asarray(preds["pool_overflow"], jnp.float32)
+    return out
 
 
 def decode_actions(preds, act_cfg):

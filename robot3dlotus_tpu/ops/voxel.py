@@ -19,9 +19,16 @@ def voxelize_pcd_np(xyz, voxel_size=0.01, attrs=None):
     Output voxels are ordered by their (x,y,z) grid key (np.unique order);
     the reference's o3d ordering is unspecified, and downstream random
     sampling makes the order immaterial.
+
+    Dispatches to the C++ hash-map voxelizer (native/voxelize.cpp) when
+    available — identical outputs, one pass instead of sort-based unique.
     """
     if len(xyz) == 0:
         return xyz, np.zeros(0, np.int64)
+    from ..native import voxelize_trace_native
+    native = voxelize_trace_native(np.asarray(xyz, np.float32), voxel_size)
+    if native is not None:
+        return native
     origin = xyz.min(0)
     grid = np.floor((xyz - origin) / voxel_size).astype(np.int64)
     _, inv, counts = np.unique(grid, axis=0, return_inverse=True,

@@ -36,7 +36,7 @@ class KeystepBatchLoader:
 
     def __init__(self, dataset, num_clouds, num_points, pos_bins=None,
                  shuffle=True, seed=0, process_index=None, process_count=None,
-                 infinite=True, collate_fn=None):
+                 infinite=True, collate_fn=None, num_workers=0):
         self.dataset = dataset
         self.num_clouds = num_clouds
         self.num_points = num_points
@@ -44,6 +44,12 @@ class KeystepBatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.infinite = infinite
+        # worker-pool parity with the reference DataLoader num_workers=4
+        # (loader.py:155-164): a thread pool prepares episodes ahead of the
+        # consumer in submission order. Threads (not processes) because the
+        # per-episode work is numpy/LMDB which releases the GIL, and LMDB
+        # handles don't pickle; 0 = fully synchronous.
+        self.num_workers = int(num_workers)
         if collate_fn is None:
             collate_fn = lambda chunk: collate_keystep_samples(
                 chunk, self.num_points, pos_bins=self.pos_bins,
@@ -63,23 +69,49 @@ class KeystepBatchLoader:
         # per-host shard (DistributedSampler equivalent)
         return ids[self.process_index::self.process_count]
 
+    def _episodes(self, epoch) -> Iterator:
+        """Yields loaded episodes for one epoch, optionally via the pool."""
+        ids = self._epoch_ids(epoch)
+        if self.num_workers <= 0:
+            for idx in ids:
+                yield int(idx), self._load(int(idx))
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+        depth = self.num_workers * 2
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = deque()
+            it = iter(ids)
+            for idx in it:
+                pending.append((int(idx), pool.submit(self._load, int(idx))))
+                if len(pending) >= depth:
+                    i, fut = pending.popleft()
+                    yield i, fut.result()
+            while pending:
+                i, fut = pending.popleft()
+                yield i, fut.result()
+
+    def _load(self, idx):
+        try:
+            return self.dataset[idx]
+        except Exception as e:  # marshalled to the consumer thread
+            return e
+
     def __iter__(self) -> Iterator[dict]:
         epoch = 0
         buf = []
         consecutive_failures = 0
         while True:
-            for idx in self._epoch_ids(epoch):
-                try:
-                    samples = self.dataset[int(idx)]
-                    consecutive_failures = 0
-                except Exception:
+            for idx, samples in self._episodes(epoch):
+                if isinstance(samples, Exception):
                     consecutive_failures += 1
                     LOGGER.warning(
-                        "episode %d failed to load (%d consecutive)",
-                        int(idx), consecutive_failures, exc_info=True)
+                        "episode %d failed to load (%d consecutive): %r",
+                        idx, consecutive_failures, samples)
                     if consecutive_failures >= MAX_CONSECUTIVE_FAILURES:
-                        raise
+                        raise samples
                     continue
+                consecutive_failures = 0
                 buf.extend(samples)
                 while len(buf) >= self.num_clouds:
                     chunk, buf = buf[:self.num_clouds], buf[self.num_clouds:]

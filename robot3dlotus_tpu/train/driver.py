@@ -34,6 +34,7 @@ from .trainer import (
 from .checkpoint import ModelSaver, save_training_meta, resume_or_init
 from .datasets.loader import KeystepBatchLoader, PrefetchToDevice
 from .logging import build_logger, MetricWriter
+from .preempt import install_preemption_handler, requeue_self
 
 
 @dataclasses.dataclass
@@ -111,7 +112,8 @@ def run_training(config, spec: TaskSpec):
     loader = KeystepBatchLoader(
         dataset, num_clouds=num_clouds,
         num_points=int(tds_cfg.get("num_points", 4096)),
-        collate_fn=spec.make_collate(tds_cfg, num_clouds), seed=seed)
+        collate_fn=spec.make_collate(tds_cfg, num_clouds), seed=seed,
+        num_workers=int(config.TRAIN.get("n_workers", 0) or 0))
     batches = PrefetchToDevice(loader, mesh=mesh)
 
     model = build_model(config.MODEL)
@@ -192,6 +194,10 @@ def run_training(config, spec: TaskSpec):
                 meters.setdefault(k, RunningMeter(k))(float(v))
         loss_buf.clear()
 
+    # preemption: checkpoint + requeue at the next step boundary
+    # (reference train/utils/slurm_requeue.py:11-28)
+    preempted = install_preemption_handler()
+
     step = start_step
     batch_iter = iter(batches)
     if start_step == 0:
@@ -202,6 +208,13 @@ def run_training(config, spec: TaskSpec):
     for batch in batch_iter:
         if step >= num_train_steps:
             break
+        if preempted:
+            logger.info(f"preemption signal {preempted.signum}: "
+                        f"saving at step {step} and requeueing")
+            if dist.is_default_process():
+                saver.save(state, step)
+                requeue_self()
+            return state
         state, losses = step_fn(state, batch, rng)
         loss_buf.append(losses)
         step += 1

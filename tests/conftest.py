@@ -54,3 +54,11 @@ def reference_available():
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute integration tests (subprocess servers, "
+        "end-to-end CLI flows); deselect with -m 'not slow' for a "
+        "<5-minute warm-cache run")

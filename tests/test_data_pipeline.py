@@ -84,8 +84,9 @@ def test_motion_dataset_and_model():
                pc_label_channels=4, txt_reduce="attn")
     model = MotionPlannerTPU(ptv3_cfg=ptv3, act_cfg=act, variant="ca")
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key, "shuffle": key},
-                           batch, deterministic=True)
+    variables = jax.jit(lambda b: model.init(
+        {"params": key, "dropout": key, "shuffle": key},
+        b, deterministic=True))(batch)
 
     def loss_fn(params):
         preds, mutated = model.apply(
@@ -94,7 +95,7 @@ def test_motion_dataset_and_model():
             rngs={"dropout": key, "shuffle": key}, mutable=["batch_stats"])
         return compute_mp_loss(preds, batch, act, LOSS_CFG)["total"]
 
-    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))

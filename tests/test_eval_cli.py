@@ -16,6 +16,7 @@ from robot3dlotus_tpu.scripts.summarize_tst_results import (
 )
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(tmp_path):
     from tests.test_training_driver import _make_config
     from robot3dlotus_tpu.train import train_simple_policy

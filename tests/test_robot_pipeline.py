@@ -314,6 +314,7 @@ def _server_env_builder():
     return ReplayEnv(SyntheticMotionStore())
 
 
+@pytest.mark.slow
 def test_pipeline_eval_server_cache_roundtrip(tmp_path):
     """The producer/consumer server with stateful=True carries the episode
     cache through the queues and writes checkpoint-tagged results."""

@@ -183,3 +183,62 @@ def test_farthest_point_sample_matches_numpy():
     idxs = np.asarray(farthest_point_sample(
         jnp.asarray(pts[:, :3]), 32, mask=jnp.asarray(mask), start=7))
     assert idxs.max() < 150
+
+
+def test_pool_overflow_counter():
+    """More unique parents than child capacity must surface a nonzero
+    pool_overflow instead of silently dropping geometry."""
+    import jax.numpy as jnp
+    from robot3dlotus_tpu.ops.pooling import build_pool_maps
+    import numpy as np
+    # 16 points, every point its own parent voxel (codes spaced 8 apart so
+    # code >> 3 is unique), capacity only 4 -> overflow = 12
+    codes = jnp.asarray(np.arange(16, dtype=np.int32)[None] * 8)
+    order = jnp.asarray(np.arange(16, dtype=np.int32)[None])
+    maps = build_pool_maps(codes, order, order, jnp.asarray([16]), 4)
+    assert int(maps.child_counts[0]) == 16
+    overflow = int(jnp.maximum(maps.child_counts - 4, 0).sum())
+    assert overflow == 12
+    assert bool(maps.child_mask[0].all())
+
+
+def test_native_voxelizer_matches_numpy():
+    import os
+    import numpy as np
+    from robot3dlotus_tpu.native import (
+        voxelize_trace_native, crop_voxelize_trace_native)
+    rng = np.random.RandomState(7)
+    xyz = rng.uniform(-0.5, 0.9, (20000, 3)).astype(np.float32)
+    nat = voxelize_trace_native(xyz, 0.01)
+    if nat is None:
+        import pytest
+        pytest.skip("no g++ / native disabled")
+    # numpy reference path (force fallback)
+    os.environ["ROBOT3DLOTUS_NATIVE"] = "0"
+    try:
+        import robot3dlotus_tpu.native as native_mod
+        lib, tried = native_mod._LIB, native_mod._TRIED
+        native_mod._LIB, native_mod._TRIED = None, True
+        from robot3dlotus_tpu.ops.voxel import voxelize_pcd_np
+        ref_means, ref_first = voxelize_pcd_np(xyz, 0.01)
+    finally:
+        native_mod._LIB, native_mod._TRIED = lib, tried
+        os.environ.pop("ROBOT3DLOTUS_NATIVE")
+    means, first = nat
+    np.testing.assert_array_equal(first, ref_first)
+    np.testing.assert_allclose(means, ref_means, atol=1e-6)
+
+    # fused crop+voxelize against the two-stage pipeline
+    from robot3dlotus_tpu.configs.rlbench.constants import get_robot_workspace
+    from robot3dlotus_tpu.ops.voxel import workspace_mask_np
+    ws = get_robot_workspace()
+    fused = crop_voxelize_trace_native(xyz, 0.01, ws, rm_table=True)
+    assert fused is not None
+    f_means, f_first, keep = fused
+    ref_keep = workspace_mask_np(xyz, ws, rm_table=True)
+    np.testing.assert_array_equal(keep, ref_keep)
+    from robot3dlotus_tpu.ops.voxel import voxelize_pcd_np as vox
+    r_means, r_first = vox(xyz[ref_keep], 0.01)
+    orig = np.where(ref_keep)[0]
+    np.testing.assert_array_equal(f_first, orig[r_first])
+    np.testing.assert_allclose(f_means, r_means, atol=1e-6)
