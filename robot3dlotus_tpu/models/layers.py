@@ -191,6 +191,19 @@ class SerializedAttention(nn.Module):
     proj_drop: float = 0.0
     upcast_softmax: bool = True
     dtype: Any = None
+    # 'auto' = Pallas flash kernel on TPU when attention dropout is inactive
+    # (inference / attn_drop=0), XLA einsum otherwise; 'xla' / 'pallas'
+    # force a path ('pallas_interpret' runs the kernel interpreted — tests)
+    attn_impl: str = "auto"
+
+    def _use_pallas(self, deterministic):
+        if self.attn_impl in ("pallas", "pallas_interpret"):
+            return True
+        if self.attn_impl == "auto":
+            from ..ops.pallas_attention import pallas_available
+            return ((deterministic or self.attn_drop == 0.0)
+                    and pallas_available())
+        return False
 
     @nn.compact
     def __call__(self, feat, order, inverse, src_pos, key_valid,
@@ -214,18 +227,31 @@ class SerializedAttention(nn.Module):
             q = LayerNorm(Dh, eps=1e-6, name="q_norm")(q)
             k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
 
-        # (B, NP, H, P, P)
-        logits = jnp.einsum("bnphd,bnqhd->bnhpq", q * scale, k,
-                            preferred_element_type=jnp.float32)
-        kv_mask = key_valid.reshape(B, NP, 1, 1, P)
-        logits = jnp.where(kv_mask, logits, -1e9)
-        if self.upcast_softmax:
-            logits = logits.astype(jnp.float32)
-        attn = jax.nn.softmax(logits, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bnhpq,bnqhd->bnphd", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(B, N, C).astype(qkv.dtype)
+        if self._use_pallas(deterministic):
+            from ..ops.pallas_attention import patch_attention
+            # (B, NP, P, H, Dh) -> (B*NP, H, P, Dh)
+            qg = q.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
+            kg = k.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
+            vg = v.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
+            og = patch_attention(
+                qg, kg, vg, key_valid.reshape(B * NP, P), float(scale),
+                self.attn_impl == "pallas_interpret")
+            out = og.reshape(B, NP, H, P, Dh).transpose(0, 1, 3, 2, 4)
+            out = out.reshape(B, N, C).astype(qkv.dtype)
+        else:
+            # (B, NP, H, P, P)
+            logits = jnp.einsum("bnphd,bnqhd->bnhpq", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            kv_mask = key_valid.reshape(B, NP, 1, 1, P)
+            logits = jnp.where(kv_mask, logits, -1e9)
+            if self.upcast_softmax:
+                logits = logits.astype(jnp.float32)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(
+                attn, deterministic=deterministic)
+            out = jnp.einsum("bnhpq,bnqhd->bnphd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(B, N, C).astype(qkv.dtype)
         out = scatter_back(out, inv)
         out = dense(C, name="proj", dtype=self.dtype)(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -287,6 +313,7 @@ class Block(nn.Module):
     norm_adaptive: bool = False
     upcast_softmax: bool = True
     dtype: Any = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, feat, pc_aux, context_vec=None, deterministic=True,
@@ -321,7 +348,7 @@ class Block(nn.Module):
             qk_scale=self.qk_scale, qk_norm=self.qk_norm,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax, name="attn",
-            dtype=self.dtype,
+            dtype=self.dtype, attn_impl=self.attn_impl,
         )(x, pc_aux["order"], pc_aux["inverse"], pc_aux["src_pos"],
           pc_aux["key_valid"], deterministic=deterministic)
         if self.drop_path > 0:

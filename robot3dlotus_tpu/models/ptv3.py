@@ -140,6 +140,9 @@ class PointTransformerV3TPU(nn.Module):
     # softmax, and backbone outputs stay float32). None/'float32' = exact
     # fp32 path for parity tests and checkpoint-converted eval.
     compute_dtype: Optional[str] = None
+    # patch-attention implementation: 'auto' | 'xla' | 'pallas' |
+    # 'pallas_interpret' (see models/layers.py SerializedAttention)
+    attn_impl: str = "auto"
 
     @property
     def _dtype(self):
@@ -237,6 +240,7 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=blk_dp, order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax, dtype=dt,
+                    attn_impl=self.attn_impl,
                     name=f"enc{s}_block{i}",
                 )(cur["feat"], aux, context_vec=context_vec,
                   deterministic=deterministic)
@@ -281,6 +285,7 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=dp_slice[i], order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax, dtype=dt,
+                    attn_impl=self.attn_impl,
                     name=f"dec{s}_block{i}",
                 )(cur["feat"], aux, context_vec=context_vec,
                   deterministic=deterministic,
