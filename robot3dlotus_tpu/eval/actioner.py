@@ -141,9 +141,18 @@ class Actioner:
         quat = R.from_euler("xyz", eulers.mean(0)).as_quat()
         return np.concatenate([avg[:3], quat, avg[-1:]], 0)
 
-    def _encode_instruction(self, instr):
+    def _encode_instruction(self, instr, taskvar=None):
         if instr in self.instr_embeds:
             return self.instr_embeds[instr]
+        if not self.data_cfg.get("instr_embed_file") and taskvar:
+            # synthetic-store mode: the model was trained on the dataset's
+            # deterministic per-taskvar pseudo-embedding
+            # (keystep_dataset.py _instr_embed) — reproduce it exactly
+            import zlib
+            h = zlib.crc32(taskvar.encode("utf-8")) % (2 ** 31)
+            rng = np.random.RandomState(h)
+            dim = int(self.act_cfg.get("txt_ft_size", 512))
+            return rng.randn(4, dim).astype(np.float32)
         if self._clip is None:
             from ..vlm.clip_encoder import ClipTextEncoder
             self._clip = ClipTextEncoder()
@@ -197,7 +206,10 @@ class Actioner:
         ee_pose[:3] = (ee_pose[:3] - centroid) / radius
         rgb = (rgb / 255.0) * 2 - 1
         pc_ft = np.concatenate([xyz, rgb], 1)
-        if self.data_cfg.get("use_height", False):
+        # default True: must match the training dataset's default
+        # (keystep_dataset.py use_height=True), since eval reloads the
+        # dumped train config which may omit the key
+        if self.data_cfg.get("use_height", True):
             pc_ft = np.concatenate([pc_ft, height[:, None]], 1)
         return pc_ft.astype(np.float32), centroid, radius, ee_pose
 
@@ -210,7 +222,7 @@ class Actioner:
 
         if instructions is None:
             instructions = self.taskvar_instrs.get(taskvar, ["do the task"])
-        instr_embed = self._encode_instruction(instructions[0])
+        instr_embed = self._encode_instruction(instructions[0], taskvar=taskvar)
 
         res = self.process_point_clouds(
             xyz, rgb, ee_pose=copy.deepcopy(np.asarray(obs["gripper"])),
@@ -245,7 +257,8 @@ class Actioner:
             action = self._ensemble_predict(T, batch)
         else:
             run = self._predict_fn(T)
-            action = np.asarray(run(self.variables, batch))[0]
+            # np.array: device arrays view as read-only numpy
+            action = np.array(run(self.variables, batch))[0]
         action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
         action[:3] = action[:3] * radius + centroid
         action[2] = max(action[2], self.TABLE_HEIGHT + 0.005)

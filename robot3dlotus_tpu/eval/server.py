@@ -29,6 +29,7 @@ def consumer_fn(actioner_builder, batch_queue, result_queues, stop_token="STOP")
     """Owns the accelerator; answers policy queries
     (reference eval_simple_policy_server.py:59-74)."""
     actioner = actioner_builder()
+    consecutive_errors = 0
     while True:
         item = batch_queue.get()
         if item == stop_token:
@@ -36,7 +37,15 @@ def consumer_fn(actioner_builder, batch_queue, result_queues, stop_token="STOP")
         k, payload = item
         try:
             out = actioner.predict(**payload)
-        except Exception as e:  # fail the episode, not the run
+            consecutive_errors = 0
+        except Exception as e:  # fail the episode, not the run...
+            consecutive_errors += 1
+            import traceback
+            traceback.print_exc()
+            # ...unless every call fails — that's a model/config bug, and
+            # recording sr=0 for the whole sweep would hide it
+            if consecutive_errors >= 8:
+                raise
             out = {"action": np.zeros(8, np.float32), "error": str(e)}
         result_queues[k].put(out)
 

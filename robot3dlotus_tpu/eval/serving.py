@@ -29,6 +29,52 @@ class RandomActioner:
         return {"action": action}
 
 
+class ThreeDLotusActioner:
+    """Challenge wrapper around the 3D-LOTUS policy Actioner
+    (reference challenges/actioner.py:32-66)."""
+
+    def __init__(self, expr_dir, ckpt_step=150000, **actioner_kw):
+        import os
+        from .actioner import Actioner
+        self.actioner = Actioner(
+            os.path.join(expr_dir, "logs", "training_config.yaml"),
+            checkpoint=os.path.join(
+                expr_dir, "ckpts", f"model_step_{ckpt_step}.msgpack"),
+            **actioner_kw)
+
+    def predict(self, taskvar=None, episode_id=None, step_id=None,
+                instruction=None, obs_state_dict=None, **kw):
+        task_str, variation = taskvar.split("+")
+        out = self.actioner.predict(
+            task_str, int(variation), step_id, obs_state_dict, episode_id,
+            instructions=[instruction] if instruction else None)
+        return {"action": np.asarray(out["action"], np.float32)}
+
+
+class ThreeDLotusPlusActioner:
+    """Challenge wrapper around the stateful 3D-LOTUS++ RobotPipeline
+    (reference challenges/actioner.py:69-107): the per-episode cache lives
+    in the actioner and resets at step 0."""
+
+    def __init__(self, pipeline_config, **pipeline_kw):
+        from .robot_pipeline import RobotPipeline
+        self.pipeline = RobotPipeline(pipeline_config, **pipeline_kw)
+        self.cache = None
+
+    def predict(self, taskvar=None, episode_id=None, step_id=None,
+                instruction=None, obs_state_dict=None, **kw):
+        task_str, variation = taskvar.split("+")
+        if step_id == 0:
+            self.cache = None
+        out = self.pipeline.predict(
+            task_str=task_str, variation=int(variation),
+            episode_id=episode_id, step_id=step_id,
+            instructions=[instruction] if instruction else None,
+            obs_state_dict=obs_state_dict, cache=self.cache)
+        self.cache = out["cache"]
+        return {"action": np.asarray(out["action"], np.float32)}
+
+
 class PolicyHTTPServer:
     """Serves any actioner with .predict(**payload) over POST /predict."""
 
@@ -44,7 +90,16 @@ class PolicyHTTPServer:
                     return
                 length = int(self.headers.get("Content-Length", 0))
                 payload = _unpack_np(self.rfile.read(length))
-                out = outer.actioner.predict(**payload)
+                try:
+                    out = outer.actioner.predict(**payload)
+                except Exception as e:  # 500 with the error, keep serving
+                    body = _pack_np({"error": repr(e)})
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/msgpack")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 body = _pack_np(out)
                 self.send_response(200)
                 self.send_header("Content-Type", "application/msgpack")

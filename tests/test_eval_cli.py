@@ -43,6 +43,34 @@ def test_eval_cli_end_to_end(tmp_path):
         "--expr_dir", cfg.output_dir, "--ckpt_step", "999",
         "--taskvar", "synthetic_task0+0", "--env", "replay"]) is None
 
+    # challenge wrapper + HTTP wire round trip on the same trained model
+    # (reference challenges/actioner.py:32-66 + server.py:27-45)
+    from robot3dlotus_tpu.eval.serving import (
+        ThreeDLotusActioner, PolicyHTTPServer, PolicyHTTPClient)
+    from robot3dlotus_tpu.train.datasets.store import SyntheticStore
+    store = SyntheticStore(points_per_step=512)
+    ep = store.get(store.taskvars()[0], store.episodes("x")[0])
+    obs = {
+        "rgb": [np.asarray(ep["rgb"][0], np.float32).reshape(-1, 3)],
+        "pc": [np.asarray(ep["xyz"][0], np.float32)],
+        "gripper": np.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], np.float32),
+        "arm_links_info": (
+            {k: np.asarray(v[0]) for k, v in ep["bbox_info"].items()},
+            {k: np.asarray(v[0]) for k, v in ep["pose_info"].items()}),
+    }
+    actioner = ThreeDLotusActioner(cfg.output_dir, ckpt_step=3)
+    server = PolicyHTTPServer(actioner, port=13917)
+    server.start_background()
+    try:
+        client = PolicyHTTPClient("http://127.0.0.1:13917")
+        res = client.predict(
+            taskvar="synthetic_task0+0", episode_id=0, step_id=0,
+            instruction="do the task", obs_state_dict=obs)
+        action = np.asarray(res["action"])
+        assert action.shape == (8,) and np.isfinite(action).all()
+    finally:
+        server.shutdown()
+
 
 def test_summarize_val_results(tmp_path):
     result_file = tmp_path / "results.jsonl"
