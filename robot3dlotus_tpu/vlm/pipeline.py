@@ -355,6 +355,55 @@ class VLMPipeline:
                 if len(o.pcd_xyz) > cfg.pcd_min_num_points]
 
     # ------------------------------------------------------------------ #
+    def prepare_som_images(self, rgb_images, sam_results):
+        """Set-of-Mark prompting inputs: stamp a numeric marker at a point
+        guaranteed inside each SAM mask (reference vlm_pipeline.py:596-657;
+        font asset replaced with PIL's built-in default). Returns
+        (som_images list of PIL.Image or None, num_objects list)."""
+        from PIL import Image, ImageDraw, ImageFont
+        som_images, num_objects = [], []
+        for sam_res, rgb_img in zip(sam_results, rgb_images):
+            if sam_res is None:
+                som_images.append(None)
+                continue
+            img = Image.fromarray(np.asarray(rgb_img, np.uint8)).convert(
+                "RGB")
+            draw = ImageDraw.ImageDraw(img)
+            font = ImageFont.load_default()
+            masks = sam_res["masks"]
+            num_objects.append(len(masks))
+            for k, m in enumerate(masks):
+                m = np.asarray(m)
+                if m.ndim == 3:
+                    m = m[0]
+                xsum, ysum = m.sum(0), m.sum(1)
+                if xsum.sum() == 0:
+                    continue
+                x = int(np.median(np.nonzero(xsum)[0]))
+                y = int(np.median(np.nonzero(ysum)[0]))
+                if not bool(m[y, x]):  # median center fell outside the mask
+                    if xsum[x] > ysum[y]:
+                        y = int(np.median(np.nonzero(m[:, x])[0]))
+                    else:
+                        x = int(np.median(np.nonzero(m[y, :])[0]))
+                draw.rectangle([x - 6, y - 6, x + 6, y + 6], fill="black")
+                draw.text((x - 4, y - 6), str(k + 1), fill="white", font=font)
+            som_images.append(img)
+        return som_images, num_objects
+
+    def generate_3d_captions(self, objects, caption_3d_model=None):
+        """Hook for a pluggable 3D captioner over grounded object clouds
+        (reference vlm_pipeline.py:659-664): obstacle/robot groups are
+        skipped; each remaining object gains a .caption_3d."""
+        model = caption_3d_model or getattr(self, "caption_3d_model", None)
+        if model is None:
+            return objects
+        for obj in objects:
+            if obj.captions and obj.captions[0] in ("obstacle", "robot"):
+                continue
+            obj.caption_3d = model(obj.pcd_xyz, obj.captions)
+        return objects
+
     def ground_object_with_query(self, text, objects=None, return_sims=False):
         """Text -> best object by OWLv2 text/image embedding cosine
         (reference vlm_pipeline.py:169-216)."""

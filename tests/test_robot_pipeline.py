@@ -337,3 +337,28 @@ def test_pipeline_eval_server_cache_roundtrip(tmp_path):
     assert recs[0]["task"] == "synthetic_task0"
     assert recs[0]["checkpoint"] == "model_step_0"
     assert 0.0 <= recs[0]["sr"] <= 1.0
+
+
+def test_som_images_and_caption_hook():
+    import numpy as np
+    from robot3dlotus_tpu.vlm.pipeline import VLMPipeline, ObjectInfo
+
+    pipe = VLMPipeline.__new__(VLMPipeline)  # no models needed
+    rgb = np.zeros((2, 32, 32, 3), np.uint8)
+    m = np.zeros((32, 32), bool)
+    m[8:16, 8:16] = True
+    ring = np.zeros((32, 32), bool)  # center-outside-mask branch
+    ring[4:28, 4:6] = True
+    ring[4:28, 26:28] = True
+    sam = [{"masks": [m, ring], "scores": [0.9, 0.8]}, None]
+    som, counts = pipe.prepare_som_images(rgb, sam)
+    assert som[1] is None and counts == [2]
+    assert np.asarray(som[0]).sum() > 0  # markers drawn
+
+    objs = [ObjectInfo(captions=["obstacle"]),
+            ObjectInfo(captions=["red cube"])]
+    objs[1].pcd_xyz = np.zeros((5, 3), np.float32)
+    out = pipe.generate_3d_captions(
+        objs, caption_3d_model=lambda xyz, caps: "a red cube on a table")
+    assert getattr(out[1], "caption_3d", None) == "a red cube on a table"
+    assert not hasattr(out[0], "caption_3d") or out[0].caption_3d is None
