@@ -143,6 +143,10 @@ class PointTransformerV3TPU(nn.Module):
     # patch-attention implementation: 'auto' | 'xla' | 'pallas' |
     # 'pallas_interpret' (see models/layers.py SerializedAttention)
     attn_impl: str = "auto"
+    # rematerialize each transformer block in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
+    # activation HBM — the standard knob for scaling batch x points
+    remat: bool = False
 
     @property
     def _dtype(self):
@@ -208,6 +212,12 @@ class PointTransformerV3TPU(nn.Module):
             if context is not None:
                 context = context.astype(dt)
 
+        # static_argnums: `deterministic` steers Python-level branches
+        # (dropout, attention impl), so it must stay concrete under remat;
+        # remat-ed blocks are therefore called positionally
+        Blk = nn.remat(Block, static_argnums=(4,)) if self.remat else Block
+        CABlk = nn.remat(CABlock, static_argnums=(6,)) if self.remat             else CABlock
+
         # encoder
         enc_dp = _linspace(0.0, self.drop_path, sum(self.enc_depths))
         stage_state = []  # saved per stage for the decoder
@@ -231,7 +241,7 @@ class PointTransformerV3TPU(nn.Module):
             cur["aux"] = aux
             for i in range(self.enc_depths[s]):
                 blk_dp = enc_dp[sum(self.enc_depths[:s]) + i]
-                cur["feat"] = Block(
+                cur["feat"] = Blk(
                     self.enc_channels[s], self.enc_num_head[s],
                     min(self.enc_patch_size[s], cur["cap"]),
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
@@ -242,17 +252,16 @@ class PointTransformerV3TPU(nn.Module):
                     upcast_softmax=self.upcast_softmax, dtype=dt,
                     attn_impl=self.attn_impl,
                     name=f"enc{s}_block{i}",
-                )(cur["feat"], aux, context_vec=context_vec,
-                  deterministic=deterministic)
+                )(cur["feat"], aux, context_vec, deterministic, None)
                 if self.use_cross_attn:
-                    cur["feat"] = CABlock(
+                    cur["feat"] = CABlk(
                         self.enc_channels[s], self.enc_num_head[s],
                         mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
                         attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                         norm_adaptive=self.norm_adaptive, dtype=dt,
                         name=f"enc{s}_cablock{i}",
                     )(cur["feat"], context, context_mask, aux,
-                      context_vec=context_vec, deterministic=deterministic)
+                      context_vec, deterministic)
             stage_state.append(dict(cur))
 
         outputs = [self._pack(cur)]
@@ -276,7 +285,7 @@ class PointTransformerV3TPU(nn.Module):
             dp_slice = dec_dp[sum(self.dec_depths[:s]):
                               sum(self.dec_depths[:s + 1])][::-1]
             for i in range(self.dec_depths[s]):
-                cur["feat"] = Block(
+                cur["feat"] = Blk(
                     dec_channels[s], self.dec_num_head[s],
                     min(self.dec_patch_size[s], cur["cap"]),
                     mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
@@ -287,20 +296,19 @@ class PointTransformerV3TPU(nn.Module):
                     upcast_softmax=self.upcast_softmax, dtype=dt,
                     attn_impl=self.attn_impl,
                     name=f"dec{s}_block{i}",
-                )(cur["feat"], aux, context_vec=context_vec,
-                  deterministic=deterministic,
-                  cpe_feat=skip_s if i == 0 else None)
+                )(cur["feat"], aux, context_vec, deterministic,
+                  skip_s if i == 0 else None)
                 if not self.use_cross_attn and return_dec_layers:
                     outputs.append(self._pack(cur))
                 if self.use_cross_attn:
-                    cur["feat"] = CABlock(
+                    cur["feat"] = CABlk(
                         dec_channels[s], self.dec_num_head[s],
                         mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
                         attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                         norm_adaptive=self.norm_adaptive, dtype=dt,
                         name=f"dec{s}_cablock{i}",
                     )(cur["feat"], context, context_mask, aux,
-                      context_vec=context_vec, deterministic=deterministic)
+                      context_vec, deterministic)
                     if return_dec_layers:
                         outputs.append(self._pack(cur))
         return outputs

@@ -151,7 +151,7 @@ _PTV3_FIELDS = {
     "dec_num_head", "dec_patch_size", "mlp_ratio", "qkv_bias", "qk_scale",
     "qk_norm", "attn_drop", "proj_drop", "drop_path", "pre_norm",
     "shuffle_orders", "upcast_softmax", "serial_depth", "stem_kernel",
-    "compute_dtype", "attn_impl",
+    "compute_dtype", "attn_impl", "remat",
 }
 
 

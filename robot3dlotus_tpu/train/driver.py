@@ -198,6 +198,25 @@ def run_training(config, spec: TaskSpec):
     # (reference train/utils/slurm_requeue.py:11-28)
     preempted = install_preemption_handler()
 
+    # profiling: capture a jax.profiler trace over a step window
+    # (SURVEY §5 — the reference has no tracer; samples/s + MFU are
+    # first-class here). TRAIN.profile_start_step/profile_num_steps.
+    profile_start = int(config.TRAIN.get("profile_start_step", 0) or 0)
+    profile_steps = int(config.TRAIN.get("profile_num_steps", 0) or 0)
+    profile_active = False
+
+    def maybe_profile(at_step):
+        nonlocal profile_active
+        if profile_steps <= 0 or not dist.is_default_process():
+            return
+        if not profile_active and at_step == profile_start:
+            jax.profiler.start_trace(os.path.join(output_dir, "profile"))
+            profile_active = True
+        elif profile_active and at_step >= profile_start + profile_steps:
+            jax.profiler.stop_trace()
+            profile_active = False
+            logger.info(f"profiler trace written to {output_dir}/profile")
+
     step = start_step
     batch_iter = iter(batches)
     if start_step == 0:
@@ -215,6 +234,7 @@ def run_training(config, spec: TaskSpec):
                 saver.save(state, step)
                 requeue_self()
             return state
+        maybe_profile(step)
         state, losses = step_fn(state, batch, rng)
         loss_buf.append(losses)
         step += 1
@@ -234,6 +254,8 @@ def run_training(config, spec: TaskSpec):
             saver.save(state, step)
         if use_val and step % val_steps == 0:
             validate(step)
+    if profile_active:
+        jax.profiler.stop_trace()
     flush_meters()
     if dist.is_default_process():
         saver.save(state, step)

@@ -124,3 +124,20 @@ def test_motion_planner_driver_with_validation(tmp_path):
 
     ckpts = os.listdir(os.path.join(cfg.output_dir, "ckpts"))
     assert "model_step_3.msgpack" in ckpts
+
+
+def test_remat_and_profiler(tmp_path):
+    """remat=True must produce the same param tree and finite losses; the
+    profiler hook must write a trace directory."""
+    cfg = _make_config(tmp_path, "SimplePolicyPTV3CA", "synthetic")
+    cfg.defrost()
+    cfg.MODEL.ptv3_config["remat"] = True
+    cfg.TRAIN.profile_start_step = 1
+    cfg.TRAIN.profile_num_steps = 1
+    cfg.freeze()
+    state = train_simple_policy.main(cfg)
+    assert int(state.step) == 3
+    recs = _read_metrics(cfg.output_dir)
+    assert all(np.isfinite(r["total"]) for r in recs if "total" in r)
+    prof = os.path.join(cfg.output_dir, "profile")
+    assert os.path.isdir(prof) and os.listdir(prof)
