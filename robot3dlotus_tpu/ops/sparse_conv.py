@@ -72,22 +72,69 @@ def _vmap_searchsorted(sorted_rows, queries):
     return jax.vmap(jnp.searchsorted)(sorted_rows, queries)
 
 
-def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None):
+def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
+                    streaming: bool | None = None):
     """feat: (B, N, Cin); weight: (K, Cin, Cout); bias: (Cout,) or None.
 
     out[b, n] = sum_k ok * W[k]^T feat[b, idx[b,n,k]]  (+ bias on active sites)
+
+    Two equivalent dataflows:
+      * dense:     materialize (B, N, K, Cin) neighbor features, one
+                   (B*N, K*Cin) x (K*Cin, Cout) matmul. Best MXU utilization,
+                   but K x the activation HBM traffic (write + read of the
+                   gathered tensor) and K x the peak activation memory —
+                   452 MB per CPE at the release shapes (B=16, N=4096, K=27,
+                   C=64 fp32).
+      * streaming: lax.scan over the K stencil offsets, accumulating
+                   gather(feat, idx_k) @ W[k] in an fp32 carry. Peak memory
+                   O(B*N*C); HBM traffic is the gather reads only (the
+                   irreducible cost), ~3x less than dense. Each step is a
+                   (B*N, Cin) x (Cin, Cout) matmul — still MXU-shaped.
+
+    Default: streaming for the 27/125-point stencils, dense for tiny ones.
     """
-    gathered = _gather_neighbors(feat, nmap.idx)
-    gathered = jnp.where(nmap.ok[..., None], gathered, 0.0)
-    out = jnp.einsum(
-        "bnkc,kcd->bnd", gathered, weight,
-        preferred_element_type=jnp.float32,
-    )
+    if streaming is None:
+        streaming = weight.shape[0] >= 27
+    if streaming:
+        out = _subm_conv_streaming(feat, nmap, weight)
+    else:
+        gathered = _gather_neighbors(feat, nmap.idx)
+        gathered = jnp.where(nmap.ok[..., None], gathered, 0.0)
+        out = jnp.einsum(
+            "bnkc,kcd->bnd", gathered, weight,
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         out = out + bias
     # accumulation is fp32 (preferred_element_type); return in the stream
     # dtype so a bfloat16 residual stream stays bfloat16
     return out.astype(feat.dtype)
+
+
+def _subm_conv_streaming(feat, nmap: NeighborMap, weight):
+    """scan over stencil offsets; fp32 accumulator of shape (B, N, Cout)."""
+    import jax
+    B, N, _ = feat.shape
+    Cout = weight.shape[-1]
+
+    # xs layout: (K, ...) so scan slices one stencil offset per step
+    xs = (jnp.moveaxis(nmap.idx, -1, 0),   # (K, B, N)
+          jnp.moveaxis(nmap.ok, -1, 0),    # (K, B, N)
+          weight)                           # (K, Cin, Cout)
+
+    def step(acc, x):
+        idx_k, ok_k, w_k = x
+        g = jnp.take_along_axis(
+            feat, jnp.broadcast_to(idx_k[..., None], idx_k.shape +
+                                   (feat.shape[-1],)), axis=1)
+        g = jnp.where(ok_k[..., None], g, 0.0)
+        acc = acc + jnp.einsum("bnc,cd->bnd", g, w_k,
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((B, N, Cout), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, xs)
+    return out
 
 
 def _gather_neighbors(feat, idx):

@@ -38,6 +38,82 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# --- Tensor parallelism -----------------------------------------------------
+#
+# Megatron-style column/row sharding applied where the pattern closes cleanly
+# (a column-parallel matmul immediately followed by a row-parallel one, so the
+# only collective is one psum riding ICI at the pair's exit):
+#
+#   MLP:  fc1 kernel (C, hidden) col-sharded, fc2 kernel (hidden, C)
+#         row-sharded  — 2/3 of the backbone's linear FLOPs.
+#   CPE:  cpe_conv weight (K, Cin, Cout) col-sharded on Cout, cpe_fc kernel
+#         (Cout, C) row-sharded — the submanifold-conv positional encoding
+#         is the single largest FLOP sink in the backbone (27-point stencil
+#         per block), so sharding its gather-matmul matters most.
+#
+# Attention qkv/proj stay replicated: the fused (C, 3C) qkv kernel factors
+# as (3, H, Dh) after reshape, so a contiguous split of the flat 3C axis
+# does not align with head boundaries; sharding it would make GSPMD insert
+# an all-gather right before the attention kernel, costing more than it
+# saves on a <100M-param model. Biases of column-sharded layers shard with
+# their output axis; row-parallel biases are added once (replicated).
+_TP_RULES = (
+    # (path-suffix regex, dim to shard). Applied to any leaf whose joined
+    # path matches and whose target dim is divisible by the tp axis size.
+    (r"mlp/fc1/kernel$", -1),
+    (r"mlp/fc1/bias$", -1),
+    (r"mlp/fc2/kernel$", 0),
+    (r"cpe_conv/weight$", -1),
+    (r"cpe_conv/bias$", -1),
+    (r"cpe_fc/kernel$", 0),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def tp_leaf_spec(path, leaf, tp_size: int) -> P:
+    """PartitionSpec for one pytree leaf under the TP rules (P() if none)."""
+    import re
+    if tp_size <= 1 or not hasattr(leaf, "ndim"):
+        return P()
+    s = _path_str(path)
+    for pat, dim in _TP_RULES:
+        if re.search(pat, s):
+            d = dim % leaf.ndim if leaf.ndim else 0
+            if leaf.ndim and leaf.shape[d] % tp_size == 0:
+                spec = [None] * leaf.ndim
+                spec[d] = "tp"
+                return P(*spec)
+    return P()
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedSharding pytree for a TrainState (params + optimizer mirrors).
+
+    Optimizer moments (adam mu/nu, lookahead slow weights) carry the same
+    path tails as their parameters, so one path-suffix rule set shards
+    master params and moments consistently — the analogue of ZeRO-free
+    Megatron TP where optimizer state lives with the shard.
+    """
+    tp_size = mesh.shape.get("tp", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, tp_leaf_spec(path, leaf, tp_size)),
+        state)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Host numpy batch -> device arrays sharded on the leading axis."""
     sh = batch_sharding(mesh)

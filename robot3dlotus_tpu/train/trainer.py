@@ -18,6 +18,7 @@ from flax.training import train_state
 
 from ..parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding, shard_batch,
+    state_shardings,
 )
 from .optim import build_optimizer
 
@@ -73,8 +74,10 @@ def create_train_state(model, sample_batch, train_cfg, rng, mesh=None):
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)
     if mesh is not None:
-        rep = replicated_sharding(mesh)
-        state = jax.device_put(state, rep)
+        # DP-replicated by default; when the mesh has a tp axis > 1 the
+        # Megatron column/row rules (parallel/mesh.py) shard the MLP and
+        # CPE weight pairs (and their adam moments) over it.
+        state = jax.device_put(state, state_shardings(state, mesh))
     return state, schedule
 
 
@@ -100,8 +103,11 @@ def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
         return new_state, {k: v for k, v in losses.items()}
 
     if mesh is not None:
-        in_shardings = (replicated_sharding(mesh), batch_sharding(mesh), None)
-        out_shardings = (replicated_sharding(mesh), None)
+        # State sharding is inherited from the arrays create_train_state
+        # placed (replicated for pure DP; Megatron col/row-sharded leaves
+        # when the mesh has a tp axis) — only the batch is constrained here.
+        in_shardings = (None, batch_sharding(mesh), None)
+        out_shardings = (None, None)
         return jax.jit(step, in_shardings=in_shardings,
                        out_shardings=out_shardings,
                        donate_argnums=(0,) if donate else ())
@@ -122,8 +128,7 @@ def make_val_step(model, loss_fn: Callable, decode_fn: Callable, mesh=None):
         return loss_fn(preds, batch), decode_fn(preds)
 
     if mesh is not None:
-        return jax.jit(step, in_shardings=(
-            replicated_sharding(mesh), batch_sharding(mesh)))
+        return jax.jit(step, in_shardings=(None, batch_sharding(mesh)))
     return jax.jit(step)
 
 
@@ -135,8 +140,7 @@ def make_eval_step(model, loss_fn: Callable, mesh=None):
         return loss_fn(preds, batch)
 
     if mesh is not None:
-        return jax.jit(step, in_shardings=(
-            replicated_sharding(mesh), batch_sharding(mesh)))
+        return jax.jit(step, in_shardings=(None, batch_sharding(mesh)))
     return jax.jit(step)
 
 

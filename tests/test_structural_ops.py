@@ -242,3 +242,20 @@ def test_native_voxelizer_matches_numpy():
     orig = np.where(ref_keep)[0]
     np.testing.assert_array_equal(f_first, orig[r_first])
     np.testing.assert_allclose(f_means, r_means, atol=1e-6)
+
+
+def test_subm_conv_streaming_matches_dense():
+    """The scan-over-offsets dataflow (low-HBM path, ops/sparse_conv.py) is
+    numerically identical to the materialize-and-matmul dataflow."""
+    from robot3dlotus_tpu.ops.sparse_conv import NeighborMap
+    rng = np.random.RandomState(7)
+    B, N, K, Cin, Cout = 2, 40, 27, 6, 8
+    feat = jnp.asarray(rng.randn(B, N, Cin).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, N, K)).astype(np.int32))
+    ok = jnp.asarray(rng.rand(B, N, K) > 0.4)
+    w = jnp.asarray(rng.randn(K, Cin, Cout).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(Cout).astype(np.float32))
+    nmap = NeighborMap(idx=idx, ok=ok)
+    dense = np.asarray(subm_conv_apply(feat, nmap, w, bias, streaming=False))
+    stream = np.asarray(subm_conv_apply(feat, nmap, w, bias, streaming=True))
+    np.testing.assert_allclose(dense, stream, rtol=1e-5, atol=1e-5)
