@@ -139,3 +139,43 @@ class PolicyHTTPClient:
             headers={"Content-Type": "application/msgpack"})
         resp.raise_for_status()
         return _unpack_np(resp.content)
+
+
+def main(argv=None):
+    """CLI: serve one of the three actioner families
+    (reference challenges/run_server.sh + server.py __main__)."""
+    import argparse
+    import yaml
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--actioner", default="random",
+                   choices=["random", "3dlotus", "3dlotus++"])
+    p.add_argument("--expr_dir", help="3dlotus: experiment directory")
+    p.add_argument("--ckpt_step", type=int, default=150000)
+    p.add_argument("--pipeline_config", help="3dlotus++: pipeline yaml")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=13000)
+    args = p.parse_args(argv)
+
+    if args.actioner == "3dlotus":
+        if not args.expr_dir:
+            p.error("--expr_dir is required for --actioner 3dlotus")
+        actioner = ThreeDLotusActioner(args.expr_dir,
+                                       ckpt_step=args.ckpt_step)
+    elif args.actioner == "3dlotus++":
+        if not args.pipeline_config:
+            p.error("--pipeline_config is required for --actioner 3dlotus++")
+        from ..utils.assets import resolve_asset
+        with open(resolve_asset(args.pipeline_config)) as f:
+            actioner = ThreeDLotusPlusActioner(yaml.safe_load(f))
+    else:
+        actioner = RandomActioner()
+
+    server = PolicyHTTPServer(actioner, host=args.host, port=args.port)
+    print(f"serving {args.actioner} on http://{server.host}:{server.port}"
+          "/predict", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

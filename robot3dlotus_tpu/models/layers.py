@@ -155,7 +155,11 @@ class SubMConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, nmap: NeighborMap):
+    def __call__(self, x, nmap, interpret=False):
+        """nmap: a NeighborMap (XLA gather paths) or a WindowMap (windowed
+        Pallas kernel, ops/pallas_conv.py) — the conv_impl backbone config
+        decides which one the stage aux carries."""
+        from ..ops.pallas_conv import WindowMap, subm_conv_windowed
         K = self.kernel_size ** 3
         cin = x.shape[-1]
         # spconv default init: kaiming-uniform-ish over fan_in = K*Cin
@@ -169,6 +173,9 @@ class SubMConv(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             weight = weight.astype(self.dtype)
+        if isinstance(nmap, WindowMap):
+            return subm_conv_windowed(x, nmap, weight, bias,
+                                      interpret=interpret)
         return subm_conv_apply(x, nmap, weight, bias)
 
 
@@ -314,6 +321,7 @@ class Block(nn.Module):
     upcast_softmax: bool = True
     dtype: Any = None
     attn_impl: str = "auto"
+    conv_interpret: bool = False  # run the windowed CPE kernel interpreted
 
     @nn.compact
     def __call__(self, feat, pc_aux, context_vec=None, deterministic=True,
@@ -334,7 +342,8 @@ class Block(nn.Module):
         # CPE: conv -> linear -> LN, residual (model.py:615-625, 659-662)
         cpe = SubMConv(self.channels, 3, use_bias=True, name="cpe_conv",
                        dtype=self.dtype)(
-            feat if cpe_feat is None else cpe_feat, pc_aux["cpe_nmap"])
+            feat if cpe_feat is None else cpe_feat, pc_aux["cpe_nmap"],
+            interpret=self.conv_interpret)
         cpe = dense(self.channels, name="cpe_fc", dtype=self.dtype)(cpe)
         cpe = LayerNorm(self.channels, name="cpe_norm")(cpe)
         feat = feat + cpe

@@ -143,6 +143,15 @@ class PointTransformerV3TPU(nn.Module):
     # patch-attention implementation: 'auto' | 'xla' | 'pallas' |
     # 'pallas_interpret' (see models/layers.py SerializedAttention)
     attn_impl: str = "auto"
+    # CPE submanifold-conv implementation: 'auto' | 'xla' | 'pallas' |
+    # 'pallas_interpret'. 'pallas' = the windowed kernel of
+    # ops/pallas_conv.py (sorted-window DMA + MXU one-hot gather); 'auto'
+    # enables it on TPU backends. The k=5 stem always uses the XLA
+    # streaming path (125-offset stencils have weaker window locality).
+    conv_impl: str = "auto"
+    # sorted-order halo for the windowed conv; +-256 covers ~98% of
+    # 3x3x3-stencil links on 1 cm tabletop clouds (ops/pallas_conv.py)
+    conv_halo: int = 256
     # rematerialize each transformer block in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
     # activation HBM — the standard knob for scaling batch x points
@@ -160,10 +169,27 @@ class PointTransformerV3TPU(nn.Module):
             caps.append(max(caps[-1] // 2, min(self.enc_patch_size)))
         return caps
 
+    def _conv_windowed(self):
+        """(use windowed pallas kernel, run it interpreted) for the CPE."""
+        if self.conv_impl == "pallas":
+            return True, False
+        if self.conv_impl == "pallas_interpret":
+            return True, True
+        if self.conv_impl == "auto":
+            from ..ops.pallas_attention import pallas_available
+            return pallas_available(), False
+        return False, False
+
     def _make_aux(self, codes, counts, cap, patch, grid_coord, mask, depth):
         order, inverse = argsort_with_inverse(codes)
         src_pos, key_valid = build_pad_maps(counts, cap, min(patch, cap))
-        cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth)
+        windowed, _ = self._conv_windowed()
+        if windowed:
+            from ..ops.pallas_conv import build_window_map
+            cpe_nmap = build_window_map(grid_coord, mask, 3, depth,
+                                        halo=self.conv_halo)
+        else:
+            cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth)
         return {
             "order": order, "inverse": inverse, "src_pos": src_pos,
             "key_valid": key_valid, "cpe_nmap": cpe_nmap, "mask": mask,
@@ -181,6 +207,8 @@ class PointTransformerV3TPU(nn.Module):
         caps = self._stage_caps(N0)
         depth0 = self.serial_depth
         pool_overflow = jnp.zeros((), jnp.int32)
+        conv_far_dropped = jnp.zeros((), jnp.int32)
+        _, conv_interp = self._conv_windowed()
 
         grid_coord = compute_grid_coord(coord, mask, self.grid_size, depth0)
         codes = serialize_codes(grid_coord, mask, depth0, self.orders)
@@ -239,6 +267,9 @@ class PointTransformerV3TPU(nn.Module):
                 self.enc_patch_size[s], cur["grid_coord"], cur["mask"],
                 cur["depth"])
             cur["aux"] = aux
+            if hasattr(aux["cpe_nmap"], "far_dropped"):
+                conv_far_dropped = conv_far_dropped + jnp.sum(
+                    aux["cpe_nmap"].far_dropped)
             for i in range(self.enc_depths[s]):
                 blk_dp = enc_dp[sum(self.enc_depths[:s]) + i]
                 cur["feat"] = Blk(
@@ -250,7 +281,7 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=blk_dp, order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax, dtype=dt,
-                    attn_impl=self.attn_impl,
+                    attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"enc{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic, None)
                 if self.use_cross_attn:
@@ -266,6 +297,9 @@ class PointTransformerV3TPU(nn.Module):
 
         outputs = [self._pack(cur)]
         outputs[0]["pool_overflow"] = pool_overflow
+        # windowed-conv exactness telemetry (0 = exact; >0 = links beyond
+        # the far-capacity were dropped — surfaced like pool_overflow)
+        outputs[0]["conv_far_dropped"] = conv_far_dropped
 
         # decoder (reference model.py:1012-1063)
         dec_dp = _linspace(0.0, self.drop_path, sum(self.dec_depths))
@@ -294,7 +328,7 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=dp_slice[i], order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax, dtype=dt,
-                    attn_impl=self.attn_impl,
+                    attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"dec{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic,
                   skip_s if i == 0 else None)

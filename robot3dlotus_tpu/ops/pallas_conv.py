@@ -1,0 +1,331 @@
+"""Pallas TPU kernel for submanifold sparse convolution via sorted windows.
+
+The XLA paths in ops/sparse_conv.py pay the irreducible cost of random HBM
+gathers: every one of the K stencil taps reads a (Cin,)-row of the feature
+array at an arbitrary index — K * B * N * Cin bytes of scattered HBM traffic
+per conv, at poor transaction efficiency.
+
+This kernel exploits a property of the serialization the backbone already
+relies on (reference model.py:96-128): after sorting points by z-order code,
+3x3x3-stencil neighbors are overwhelmingly CLOSE in the sorted order.
+Measured on voxelized tabletop scans (1 cm voxels, 4096 points): 98.3% of
+neighbor links fall within +-256 sorted positions, 99.3% within +-512.
+
+Dataflow (exact, not approximate):
+  1. features are permuted to z-sorted order (one gather, B*N*Cin bytes);
+  2. the kernel walks tiles of P=128 sorted points; for each tile ONE
+     contiguous DMA brings the window [tile_start-H, tile_start+P+H) of
+     sorted features into VMEM;
+  3. in-window neighbor taps become VMEM reads, realised as a one-hot
+     (P, Wn) x (Wn, Cin) matmul on the MXU (a gather the MXU is happy to
+     do), followed by the (P, Cin) x (Cin, Cout) stencil matmul, accumulated
+     over the K grid dimension into the output block;
+  4. the rare out-of-window links (the remaining ~2%) are compacted into a
+     static-capacity list and applied by plain XLA gather + masked matmul +
+     segment-sum — cheap because the list is short. When the window covers
+     the whole cloud (pooled stages: N <= P + 2H) there are no far links
+     and the pass is skipped at trace time.
+
+HBM traffic: the window DMAs re-read each sorted row (P+2H)/P ~ 5x, so
+~5 * B*N*Cin contiguous bytes versus ~27 * B*N*Cin scattered bytes for the
+gather paths — and contiguous DMA runs at full bandwidth.
+
+Training: subm_conv_windowed is a custom_vjp. dL/dx is the SAME windowed
+kernel with mirrored-transposed weights (the submanifold stencil relation is
+symmetric: q = p + off[k]  <=>  p = q + off[K-1-k], reference spconv
+semantics model.py:615-622), so the backward gather rides the same windows.
+dL/dW uses streaming XLA gathers over the original-order map.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sparse_conv import NeighborMap, build_neighbor_map
+from .serialization import z_order_encode
+
+
+@flax.struct.dataclass
+class WindowMap:
+    """Sorted-domain neighbor structure for the windowed kernel.
+
+    Array fields are pytree leaves (traced); tile/halo/window are static so
+    they can shape the kernel grid.
+    """
+    order: jnp.ndarray      # (B, N) int32: sorted slot -> original index
+    inverse: jnp.ndarray    # (B, N) int32: original index -> sorted slot
+    rel: jnp.ndarray        # (B, T, K, P) int32: window-relative neighbor
+    #                         slot, or -1 when absent/far (one-hot of -1
+    #                         matches no window row, so it gathers zeros)
+    far_src: jnp.ndarray    # (B, F) int32: sorted slot of the source point
+    far_dst: jnp.ndarray    # (B, F) int32: sorted slot of the destination
+    far_k: jnp.ndarray      # (B, F) int32: stencil offset index
+    far_ok: jnp.ndarray     # (B, F) bool
+    far_dropped: jnp.ndarray  # (B,) int32 telemetry: links beyond capacity
+    nmap: NeighborMap       # original-order map (for the dW backward)
+    tile: int = flax.struct.field(pytree_node=False)
+    halo: int = flax.struct.field(pytree_node=False)
+    window: int = flax.struct.field(pytree_node=False)  # Wn = min(N, P+2H)
+
+
+def _choose_tile(n: int) -> int:
+    for p in (128, 64, 32, 16, 8):
+        if n % p == 0:
+            return min(p, n)
+    return n
+
+
+def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
+                     halo: int = 256, far_capacity: int | None = None,
+                     tile: int | None = None) -> WindowMap:
+    """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool."""
+    B, N, _ = grid_coord.shape
+    nmap = build_neighbor_map(grid_coord, mask, kernel_size, depth)
+    K = nmap.idx.shape[-1]
+    P = tile if tile is not None else _choose_tile(N)
+    assert N % P == 0, (N, P)
+    T = N // P
+    Wn = min(N, P + 2 * halo)
+    if far_capacity is None:
+        # measured far fraction is ~2% of N*K at H=256; N//2 is ~4x headroom
+        far_capacity = max(P, N // 2)
+    F = 1 if Wn == N else far_capacity  # no far links possible at Wn == N
+
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    codes = jnp.where(mask, z_order_encode(grid_coord, depth), sentinel)
+    order = jnp.argsort(codes, axis=-1).astype(jnp.int32)       # (B, N)
+    inverse = jnp.argsort(order, axis=-1).astype(jnp.int32)
+
+    # neighbor sorted slots, arranged by destination sorted slot
+    q_orig = jnp.take_along_axis(
+        inverse, nmap.idx.reshape(B, -1), axis=-1).reshape(B, N, K)
+    gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
+    q = jnp.take_along_axis(q_orig, gather_order, axis=1)        # (B, N, K)
+    ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
+
+    slot = jnp.arange(N, dtype=jnp.int32)
+    win_start = jnp.clip(
+        (slot // P) * P - halo, 0, max(N - Wn, 0))               # (N,)
+    rel = q - win_start[None, :, None]
+    near = ok & (rel >= 0) & (rel < Wn)
+    rel = jnp.where(near, rel, -1).astype(jnp.int32)
+    rel = rel.reshape(B, T, P, K).transpose(0, 1, 3, 2)          # (B,T,K,P)
+
+    # compact the far links
+    far = (ok & ~near).reshape(B, N * K)
+    fidx = jnp.argsort(~far, axis=-1, stable=True)[:, :F]        # far first
+    far_ok = jnp.take_along_axis(far, fidx, axis=-1)
+    far_dst = (fidx // K).astype(jnp.int32)
+    far_k = (fidx % K).astype(jnp.int32)
+    far_src = jnp.take_along_axis(
+        q.reshape(B, N * K), fidx, axis=-1).astype(jnp.int32)
+    far_src = jnp.where(far_ok, far_src, 0)
+    far_dropped = (jnp.sum(far, axis=-1) - jnp.sum(far_ok, axis=-1)
+                   ).astype(jnp.int32)
+
+    return WindowMap(order=order, inverse=inverse, rel=rel,
+                     far_src=far_src, far_dst=far_dst, far_k=far_k,
+                     far_ok=far_ok, far_dropped=far_dropped, nmap=nmap,
+                     tile=P, halo=halo, window=Wn)
+
+
+# --------------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------------
+
+def _conv_kernel(rel_ref, w_ref, feat_hbm, out_ref, window, sem, *,
+                 tile, halo, wn, n):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        start = jnp.clip(t * tile - halo, 0, max(n - wn, 0))
+        # every reachable value (0, t*P-H, n-wn) is a multiple of the tile
+        # gcd; Mosaic needs the divisibility proven for tiled-HBM slicing
+        align = int(np.gcd.reduce([tile, halo or tile, max(n - wn, tile)]))
+        start = pl.multiple_of(start, align)
+        cp = pltpu.make_async_copy(
+            feat_hbm.at[b, pl.ds(start, wn), :], window, sem)
+        cp.start()
+        cp.wait()
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    rel = rel_ref[0, 0, k]                                   # (P,) int32
+    win = window[...]                                        # (Wn, Cin)
+    onehot = (rel[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (tile, wn), 1))
+    gathered = jax.lax.dot_general(                          # (P, Cin)
+        onehot.astype(win.dtype), win,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    contrib = jax.lax.dot_general(                           # (P, Cout)
+        gathered.astype(w_ref.dtype), w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0] += contrib.astype(out_ref.dtype)
+
+
+def _windowed_core(feat_sorted, rel, weight, *, tile, halo, wn,
+                   interpret=False):
+    """feat_sorted: (B, N, Cin); rel: (B, T, K, P); weight: (K, Cin, Cout).
+
+    Returns (B, N, Cout) fp32: near-link contributions in sorted order.
+    """
+    B, N, Cin = feat_sorted.shape
+    _, T, K, P = rel.shape
+    Cout = weight.shape[-1]
+    # the halo DMA slices rows out of the (1,128)-tiled HBM array, so the
+    # channel width must be a lane multiple; zero-pad feat and the weight's
+    # input axis together (release CPE widths 128/256/512/768 are already
+    # aligned — only the 64-wide first stage pays the 2x window DMA)
+    if Cin % 128 and not interpret:
+        pad = 128 - Cin % 128
+        feat_sorted = jnp.pad(feat_sorted, ((0, 0), (0, 0), (0, pad)))
+        weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
+        Cin += pad
+    kern = functools.partial(_conv_kernel, tile=tile, halo=halo, wn=wn, n=N)
+    flops = 2 * B * T * K * (P * wn * Cin + P * Cin * Cout)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, T, K),
+        in_specs=[
+            # one (K, P) block per (b, t): Mosaic wants the last two block
+            # dims (8,128)-aligned or equal to the array dims, and fetching
+            # all K rows at once also avoids K re-fetches of the same tile
+            pl.BlockSpec((1, 1, K, P), lambda b, t, k: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cin, Cout), lambda b, t, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # keep features in HBM explicitly: under pl.ANY the compiler
+            # may promote them to VMEM with 128-lane tiling, and the halo
+            # DMA slice is then misaligned for Cin < 128
+            pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, P, Cout), lambda b, t, k: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((wn, Cin), feat_sorted.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=B * T * wn * Cin * feat_sorted.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(rel, weight, feat_sorted)
+    return out
+
+
+def _far_correction(feat_sorted, wmap: WindowMap, weight):
+    """XLA pass over the compacted far links -> (B, N, Cout) fp32 sorted."""
+    B, N, _ = feat_sorted.shape
+    K, _, Cout = weight.shape
+    F = wmap.far_src.shape[1]
+    src = jnp.take_along_axis(
+        feat_sorted,
+        jnp.broadcast_to(wmap.far_src[..., None],
+                         (B, F, feat_sorted.shape[-1])), axis=1)
+    src = src.astype(jnp.float32)
+    contrib = jnp.zeros((B, F, Cout), jnp.float32)
+    for k in range(K):
+        sel = (wmap.far_k == k) & wmap.far_ok
+        contrib = contrib + jnp.where(
+            sel[..., None],
+            jnp.einsum("bfc,cd->bfd", src, weight[k].astype(jnp.float32),
+                       preferred_element_type=jnp.float32), 0.0)
+    seg = jax.vmap(
+        lambda c, d: jax.ops.segment_sum(c, d, num_segments=N))(
+            contrib, wmap.far_dst)
+    return seg
+
+
+def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
+    B, N, Cin = feat.shape
+    feat_sorted = jnp.take_along_axis(
+        feat, jnp.broadcast_to(wmap.order[..., None], (B, N, Cin)), axis=1)
+    out_sorted = _windowed_core(
+        feat_sorted, wmap.rel, weight,
+        tile=wmap.tile, halo=wmap.halo, wn=wmap.window, interpret=interpret)
+    if wmap.window < N:  # static: a full-cloud window has no far links
+        out_sorted = out_sorted + _far_correction(feat_sorted, wmap, weight)
+    out = jnp.take_along_axis(
+        out_sorted,
+        jnp.broadcast_to(wmap.inverse[..., None],
+                         (B, N, out_sorted.shape[-1])), axis=1)
+    return out
+
+
+def _mirror_weight(weight):
+    """W'[k] = W[K-1-k]^T — the adjoint stencil (offsets(K-1-k) == -offsets(k)
+    in spconv's x-major ascending iteration order)."""
+    return jnp.flip(weight, axis=0).transpose(0, 2, 1)
+
+
+def _float0_zeros(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.zeros(np.shape(x), jax.dtypes.float0), tree)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _windowed_op(feat, weight, wmap: WindowMap, interpret=False):
+    return _windowed_forward(feat, wmap, weight, interpret=interpret)
+
+
+def _windowed_op_fwd(feat, weight, wmap, interpret):
+    return _windowed_forward(feat, wmap, weight, interpret=interpret), \
+        (feat, weight, wmap)
+
+
+def _windowed_op_bwd(interpret, res, g):
+    feat, weight, wmap = res
+    g = g.astype(jnp.float32)
+    # dx: same windows, mirrored-transposed weights (stencil symmetry)
+    dx = _windowed_forward(g, wmap, _mirror_weight(weight),
+                           interpret=interpret).astype(feat.dtype)
+    # dW[k] = sum_{b,n} ok * x[idx_k]^T g : streaming over original order
+    nmap = wmap.nmap
+    K = weight.shape[0]
+    feat32 = feat.astype(jnp.float32)
+
+    def step(acc, x):
+        idx_k, ok_k, k = x
+        gathered = jnp.take_along_axis(
+            feat32, jnp.broadcast_to(idx_k[..., None],
+                                     idx_k.shape + (feat.shape[-1],)),
+            axis=1)
+        gathered = jnp.where(ok_k[..., None], gathered, 0.0)
+        dw_k = jnp.einsum("bnc,bnd->cd", gathered, g,
+                          preferred_element_type=jnp.float32)
+        return acc.at[k].set(dw_k), None
+
+    xs = (jnp.moveaxis(nmap.idx, -1, 0), jnp.moveaxis(nmap.ok, -1, 0),
+          jnp.arange(K))
+    dW, _ = jax.lax.scan(step, jnp.zeros(weight.shape, jnp.float32), xs)
+    return dx, dW.astype(weight.dtype), _float0_zeros(wmap)
+
+
+_windowed_op.defvjp(_windowed_op_fwd, _windowed_op_bwd)
+
+
+def subm_conv_windowed(feat, wmap: WindowMap, weight, bias=None,
+                       interpret=False):
+    """Drop-in equivalent of ops.sparse_conv.subm_conv_apply on a WindowMap.
+
+    feat: (B, N, Cin); weight: (K, Cin, Cout); bias: (Cout,) or None.
+    Exact (near links on the MXU via windows, far links via the compacted
+    XLA pass) provided wmap.far_dropped is all zero — callers should surface
+    that counter (cf. the pooling-overflow telemetry).
+    """
+    out = _windowed_op(feat, weight, wmap, interpret)
+    if bias is not None:
+        out = out + bias
+    return out.astype(feat.dtype)
