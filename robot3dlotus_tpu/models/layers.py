@@ -345,7 +345,10 @@ class Block(nn.Module):
             feat if cpe_feat is None else cpe_feat, pc_aux["cpe_nmap"],
             interpret=self.conv_interpret)
         cpe = dense(self.channels, name="cpe_fc", dtype=self.dtype)(cpe)
-        cpe = LayerNorm(self.channels, name="cpe_norm")(cpe)
+        # the reference builds the CPE's norm from norm_layer too
+        # (model.py:30-39), so under AdaNorm it is an adaptive PDNorm
+        cpe = norm("cpe_norm")(cpe, mask=pc_aux["mask"], context=context_vec,
+                               use_running_average=deterministic)
         feat = feat + cpe
 
         shortcut = feat

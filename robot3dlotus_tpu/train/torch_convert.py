@@ -56,13 +56,25 @@ def _conv(flax_prefix, torch_prefix, bias=True):
     return m
 
 
-def _block_map(flax_p, torch_p, qk_norm=True):
+def _norm(flax_mod, torch_mod, kind="ln", adaptive=False):
+    """One AdaptiveNorm site. Non-adaptive reference: a bare BN/LN at
+    torch_mod. Adaptive reference (PDNorm, model.py:257-304 with
+    decouple=False): the inner norm lives at `<torch_mod>.norm` and the
+    SiLU+Linear modulation at `<torch_mod>.modulation.1`."""
+    inner = f"{torch_mod}.norm" if adaptive else torch_mod
+    m = (_bn if kind == "bn" else _ln)(f"{flax_mod}/norm", inner)
+    if adaptive:
+        m.update(_dense(f"{flax_mod}/modulation", f"{torch_mod}.modulation.1"))
+    return m
+
+
+def _block_map(flax_p, torch_p, qk_norm=True, adaptive=False):
     m = {}
     m.update(_conv(f"{flax_p}/cpe_conv", f"{torch_p}.cpe.0"))
     m.update(_dense(f"{flax_p}/cpe_fc", f"{torch_p}.cpe.1"))
-    m.update(_ln(f"{flax_p}/cpe_norm", f"{torch_p}.cpe.2"))
-    m.update(_ln(f"{flax_p}/norm1/norm", f"{torch_p}.norm1.0"))
-    m.update(_ln(f"{flax_p}/norm2/norm", f"{torch_p}.norm2.0"))
+    m.update(_norm(f"{flax_p}/cpe_norm", f"{torch_p}.cpe.2", "ln", adaptive))
+    m.update(_norm(f"{flax_p}/norm1", f"{torch_p}.norm1.0", "ln", adaptive))
+    m.update(_norm(f"{flax_p}/norm2", f"{torch_p}.norm2.0", "ln", adaptive))
     m.update(_dense(f"{flax_p}/attn/qkv", f"{torch_p}.attn.qkv"))
     m.update(_dense(f"{flax_p}/attn/proj", f"{torch_p}.attn.proj"))
     if qk_norm:
@@ -73,10 +85,10 @@ def _block_map(flax_p, torch_p, qk_norm=True):
     return m
 
 
-def _ca_block_map(flax_p, torch_p, qk_norm=True):
+def _ca_block_map(flax_p, torch_p, qk_norm=True, adaptive=False):
     m = {}
-    m.update(_ln(f"{flax_p}/norm1/norm", f"{torch_p}.norm1.0"))
-    m.update(_ln(f"{flax_p}/norm2/norm", f"{torch_p}.norm2.0"))
+    m.update(_norm(f"{flax_p}/norm1", f"{torch_p}.norm1.0", "ln", adaptive))
+    m.update(_norm(f"{flax_p}/norm2", f"{torch_p}.norm2.0", "ln", adaptive))
     m.update(_dense(f"{flax_p}/attn/q", f"{torch_p}.attn.q"))
     m.update(_dense(f"{flax_p}/attn/kv", f"{torch_p}.attn.kv"))
     m.update(_dense(f"{flax_p}/attn/proj", f"{torch_p}.attn.proj"))
@@ -96,6 +108,13 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
     cls = model_cfg["model_class"]
     use_ca = cls.endswith("CA")
     qk_norm = bool(ptv3.get("qk_norm", False))
+    # AdaNorm variants train with PDNorm everywhere a norm_layer is used
+    # (simple_policy_ptv3.yaml:122-128: pdnorm_bn/ln + adaptive, decouple
+    # False); the released CA script disables it
+    # (train_3dlotus_policy.sh:87-89). Mirrors SimplePolicyTPU's
+    # norm_adaptive rule so converted trees always line up.
+    adaptive = cls.endswith("AdaNorm") and \
+        bool(ptv3.get("pdnorm_adaptive", True))
     enc_depths = list(ptv3["enc_depths"])
     dec_depths = list(ptv3["dec_depths"])
     num_stages = len(enc_depths)
@@ -121,16 +140,18 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
     bp = "ptv3_model"
     m.update(_conv(f"{bp}/embedding_stem_conv", f"{bp}.embedding.stem.conv",
                    bias=False))
-    m.update(_bn(f"{bp}/embedding_norm/norm", f"{bp}.embedding.stem.norm"))
+    m.update(_norm(f"{bp}/embedding_norm", f"{bp}.embedding.stem.norm",
+                   "bn", adaptive))
     for s in range(num_stages):
         if s > 0:
             m.update(_dense(f"{bp}/enc{s}_down/proj",
                             f"{bp}.enc.enc{s}.down.proj"))
-            m.update(_bn(f"{bp}/enc{s}_down/norm/norm",
-                         f"{bp}.enc.enc{s}.down.norm.0"))
+            m.update(_norm(f"{bp}/enc{s}_down/norm",
+                           f"{bp}.enc.enc{s}.down.norm.0", "bn", adaptive))
         for i in range(enc_depths[s]):
             m.update(_block_map(f"{bp}/enc{s}_block{i}",
-                                f"{bp}.enc.enc{s}.block{i}", qk_norm))
+                                f"{bp}.enc.enc{s}.block{i}", qk_norm,
+                                adaptive))
             if use_ca:
                 m.update(_ca_block_map(f"{bp}/enc{s}_cablock{i}",
                                        f"{bp}.enc.enc{s}.ca_block{i}",
@@ -138,12 +159,14 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
     for s in range(num_stages - 1):
         up_f, up_t = f"{bp}/dec{s}_up", f"{bp}.dec.dec{s}.up"
         m.update(_dense(f"{up_f}/proj_fc", f"{up_t}.proj.0"))
-        m.update(_bn(f"{up_f}/proj_norm/norm", f"{up_t}.proj.1"))
+        m.update(_norm(f"{up_f}/proj_norm", f"{up_t}.proj.1", "bn", adaptive))
         m.update(_dense(f"{up_f}/proj_skip_fc", f"{up_t}.proj_skip.0"))
-        m.update(_bn(f"{up_f}/proj_skip_norm/norm", f"{up_t}.proj_skip.1"))
+        m.update(_norm(f"{up_f}/proj_skip_norm", f"{up_t}.proj_skip.1",
+                       "bn", adaptive))
         for i in range(dec_depths[s]):
             m.update(_block_map(f"{bp}/dec{s}_block{i}",
-                                f"{bp}.dec.dec{s}.block{i}", qk_norm))
+                                f"{bp}.dec.dec{s}.block{i}", qk_norm,
+                                adaptive))
             if use_ca:
                 m.update(_ca_block_map(f"{bp}/dec{s}_cablock{i}",
                                        f"{bp}.dec.dec{s}.ca_block{i}",

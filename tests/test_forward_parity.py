@@ -44,7 +44,10 @@ CFG = dict(
 
 MODEL_CFG = {  # torch_convert expects the policy-level config shape
     "model_class": "SimplePolicyPTV3AdaNorm",
-    "ptv3_config": dict(CFG),
+    # plain norms here (the adaptive PDNorm layout is covered by
+    # tests/test_policy_parity.py); pdnorm_adaptive only steers the
+    # converter, so it lives in the config copy, not the module kwargs
+    "ptv3_config": dict(CFG, pdnorm_adaptive=False),
     "action_config": {"txt_reduce": "mean"},
 }
 

@@ -47,6 +47,14 @@ class AttrDict(dict):
     def __delattr__(self, name):
         del self[name]
 
+    # yacs-CfgNode surface used by the reference models (they defrost to
+    # inject derived fields, simple_policy_ptv3.py:166-169)
+    def freeze(self):
+        pass
+
+    def defrost(self):
+        pass
+
 
 class DropPath(nn.Module):
     """timm.models.layers.DropPath (per-sample stochastic depth)."""
