@@ -252,8 +252,17 @@ def torch_to_flax(state_dict, model_cfg, spconv_layout="out_k_in"):
         else:
             params[fpath] = w
     mapped = set(name_map.keys())
+    # dead reference params: CA-variant reference models construct
+    # txt_attn_fc whenever txt_reduce == 'attn' but never call it (the CA
+    # conditioning path uses ragged token context instead,
+    # motion_planner_ptv3.py:420-421 + :437-463); tolerate those keys.
+    dead = set()
+    if model_cfg["model_class"].endswith("CA") and \
+            model_cfg["action_config"].get("txt_reduce") == "attn":
+        dead = {"txt_attn_fc.weight", "txt_attn_fc.bias"}
     for k in state_dict:
-        if k not in mapped and "num_batches_tracked" not in k:
+        if k not in mapped and k not in dead and \
+                "num_batches_tracked" not in k:
             unexpected.append(k)
     return (unflatten_tree(params), unflatten_tree(batch_stats),
             missing, unexpected)

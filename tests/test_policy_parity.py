@@ -187,3 +187,150 @@ def test_policy_action_parity_adanorm():
                                atol=1e-5, err_msg="rotation quaternion")
     np.testing.assert_allclose(my_actions[:, 7], ref_actions[:, 7],
                                atol=1e-4, err_msg="open logit")
+
+
+def test_motion_planner_action_parity_ca():
+    """Same end-to-end check for the RELEASED motion-planner configuration
+    (MotionPlannerPTV3CA, train_3dlotusplus_motion_planner.sh:94-98:
+    cross-attention conditioning, plain norms, txt_reduce 'attn' [a dead
+    txt_attn_fc in the CA class], use_ee_pose False): per-trajectory-step
+    disc-position decode + euler-disc quats + stop bits."""
+    shims.install()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from genrobo3d.models import motion_planner_ptv3 as ref_mp
+    from robot3dlotus_tpu.models.motion_planner import (
+        MotionPlannerTPU, decode_mp_actions,
+    )
+
+    L = 3               # max_traj_len
+    LBL = 4             # pc_label_channels
+    TE = 8              # traj_embed_size
+    A = shims.AttrDict
+    ref_cfg = A(
+        ptv3_config=A(
+            in_channels=6,  # reference mutates this += pc_label_channels
+            order=list(TPU_PTV3["orders"]), stride=list(TPU_PTV3["stride"]),
+            enc_depths=list(TPU_PTV3["enc_depths"]),
+            enc_channels=list(TPU_PTV3["enc_channels"]),
+            enc_num_head=list(TPU_PTV3["enc_num_head"]),
+            enc_patch_size=list(TPU_PTV3["enc_patch_size"]),
+            dec_depths=list(TPU_PTV3["dec_depths"]),
+            dec_channels=list(TPU_PTV3["dec_channels"]),
+            dec_num_head=list(TPU_PTV3["dec_num_head"]),
+            dec_patch_size=list(TPU_PTV3["dec_patch_size"]),
+            mlp_ratio=4.0, qkv_bias=True, qk_scale=None, qk_norm=True,
+            attn_drop=0.0, proj_drop=0.0, drop_path=0.0,
+            pre_norm=True, shuffle_orders=False,
+            enable_rpe=False, enable_flash=False,
+            upcast_attention=True, upcast_softmax=True, cls_mode=False,
+            pdnorm_bn=False, pdnorm_ln=False, pdnorm_decouple=True,
+            pdnorm_adaptive=False, pdnorm_affine=True,
+            pdnorm_conditions=None,
+            ctx_channels=CTX, add_coords_in_attn="none",
+        ),
+        action_config=A(
+            txt_ft_size=TXT_FT, context_channels=CTX, txt_reduce="attn",
+            use_ee_pose=False, max_steps=30,
+            reduce="max", dim_actions=7, max_traj_len=L,
+            pc_label_channels=LBL, traj_embed_size=TE,
+            pos_pred_type="heatmap_disc", pos_heatmap_temp=0.1,
+            rot_pred_type="euler_disc", dropout=0.0,
+            voxel_size=1.0, pos_bins=4, pos_bin_size=0.01,
+            best_disc_pos="max", euler_resolution=5,
+        ),
+    )
+    torch.manual_seed(5)
+    ref = ref_mp.MotionPlannerPTV3CA(ref_cfg)
+    ref.eval()
+
+    rng_np = np.random.RandomState(13)
+    clouds = [surface_cloud(rng_np, 13, 14), surface_cloud(rng_np, 16, 16)]
+    feats = [rng_np.randn(len(g), 6).astype(np.float32) for g in clouds]
+    labels = [rng_np.randint(0, 4, len(g)) for g in clouds]
+    for g, f in zip(clouds, feats):
+        f[:, :3] = g
+    ctx_lens = [3, 5]
+    ctxs = [rng_np.randn(t, TXT_FT).astype(np.float32) for t in ctx_lens]
+
+    ref_batch = {
+        "pc_fts": torch.from_numpy(np.concatenate(feats)),
+        "pc_labels": torch.from_numpy(np.concatenate(labels)),
+        "offset": torch.tensor(np.cumsum([len(g) for g in clouds])),
+        "npoints_in_batch": [len(g) for g in clouds],
+        "txt_embeds": torch.from_numpy(np.concatenate(ctxs)),
+        "txt_lens": ctx_lens,
+    }
+    with torch.no_grad():
+        ref_actions = ref(ref_batch, compute_loss=False,
+                          compute_final_action=True).numpy()  # (B, L, 9)
+
+    # ours
+    cap = 256
+    B = len(clouds)
+    pc = np.zeros((B, cap, 6), np.float32)
+    lbl = np.zeros((B, cap), np.int32)
+    mask = np.zeros((B, cap), bool)
+    counts = np.zeros(B, np.int32)
+    for i, (f, lb) in enumerate(zip(feats, labels)):
+        pc[i, :len(f)] = f
+        lbl[i, :len(lb)] = lb
+        mask[i, :len(f)] = True
+        counts[i] = len(f)
+    T = max(ctx_lens)
+    txt = np.zeros((B, T, TXT_FT), np.float32)
+    tmask = np.zeros((B, T), bool)
+    for i, c in enumerate(ctxs):
+        txt[i, :len(c)] = c
+        tmask[i, :len(c)] = True
+    my_batch = {
+        "pc_fts": jnp.asarray(pc), "pc_labels": jnp.asarray(lbl),
+        "pc_mask": jnp.asarray(mask), "pc_counts": jnp.asarray(counts),
+        "txt_embeds": jnp.asarray(txt), "txt_mask": jnp.asarray(tmask),
+        "ee_poses": jnp.zeros((B, 8), jnp.float32),
+        "step_ids": jnp.zeros((B,), jnp.int32),
+    }
+    act = dict(TPU_ACT, txt_reduce="attn", max_traj_len=L,
+               pc_label_channels=LBL, traj_embed_size=TE)
+    model = MotionPlannerTPU(ptv3_cfg=TPU_PTV3, act_cfg=act, variant="ca")
+    model_cfg = {
+        "model_class": "MotionPlannerPTV3CA",
+        "ptv3_config": dict(TPU_PTV3),
+        "action_config": dict(act),
+    }
+    params_tree, bstats_tree, missing, unexpected = torch_to_flax(
+        dict(ref.state_dict()), model_cfg)
+    assert not unexpected, unexpected
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key, "shuffle": key},
+                           my_batch, deterministic=True)
+    import flax
+    variables = flax.core.unfreeze(variables)
+
+    def _merge(dst, src, path=""):
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k} in target tree"
+            if isinstance(v, dict):
+                _merge(dst[k], v, f"{path}/{k}")
+            else:
+                assert dst[k].shape == v.shape, \
+                    f"{path}/{k}: {dst[k].shape} vs {v.shape}"
+                dst[k] = jnp.asarray(v)
+
+    _merge(variables["params"], params_tree)
+    if bstats_tree:
+        _merge(variables["batch_stats"], bstats_tree)
+
+    preds = model.apply(variables, my_batch, deterministic=True)
+    my_actions = np.asarray(decode_mp_actions(preds, act))  # (B, L, 9)
+
+    np.testing.assert_allclose(my_actions[..., :3], ref_actions[..., :3],
+                               atol=1e-4, rtol=1e-4, err_msg="positions")
+    # q and -q are the same rotation; scipy's as_quat does not canonicalize
+    # the sign, so compare up to a per-quaternion global sign
+    qa, qb = my_actions[..., 3:7], ref_actions[..., 3:7]
+    diff = np.minimum(np.abs(qa - qb).max(-1), np.abs(qa + qb).max(-1))
+    assert float(diff.max()) < 1e-5, f"quaternion mismatch: {diff.max()}"
+    np.testing.assert_allclose(my_actions[..., 7:], ref_actions[..., 7:],
+                               atol=1e-4, err_msg="open/stop logits")
