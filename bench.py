@@ -123,6 +123,36 @@ def bench_latency(num_calls=None, warmup=5):
     return float(np.percentile(times, 50)), float(np.percentile(times, 99))
 
 
+def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
+    """Host input-pipeline throughput: SyntheticStore episodes through the
+    FULL KeystepDataset preprocessing (workspace crop, 1 cm voxelize,
+    robot-box removal, sampling, augmentation, disc-position GT probs) and
+    the worker-pool loader + collate — the reference's DataLoader
+    num_workers=4 path (loader.py:155-164). Returns host samples/s, i.e.
+    what the input side can sustain independent of the device step."""
+    if num_batches is None:
+        num_batches = int(os.environ.get("BENCH_LOADER_BATCHES", "8"))
+    from robot3dlotus_tpu.train.datasets.store import SyntheticStore
+    from robot3dlotus_tpu.train.datasets.keystep_dataset import KeystepDataset
+    from robot3dlotus_tpu.train.datasets.loader import KeystepBatchLoader
+
+    store = SyntheticStore(num_taskvars=4, episodes_per_taskvar=8,
+                           points_per_step=60000)
+    ds = KeystepDataset(store, num_points=num_points, augment_pc=True,
+                        pos_type="disc", pos_bins=15)
+    loader = KeystepBatchLoader(
+        ds, num_clouds=batch_clouds, num_points=num_points, pos_bins=15,
+        num_workers=int(os.environ.get("BENCH_LOADER_WORKERS", "4")),
+        process_index=0, process_count=1)
+    it = iter(loader)
+    next(it)  # warm caches / pool
+    t0 = time.perf_counter()
+    for _ in range(num_batches):
+        next(it)
+    dt = time.perf_counter() - t0
+    return num_batches * batch_clouds / dt
+
+
 def main():
     import jax
     # persistent compile cache: the release-config train step is a large XLA
@@ -191,6 +221,9 @@ def main():
     # median of repeated windows; one loss readback per window forces true
     # completion of the whole window while still allowing step pipelining
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")  # e.g. /tmp/jax_trace
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     window_sps = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -198,12 +231,22 @@ def main():
             state, losses = step_fn(state, batch, rng)
         float(losses["total"])
         window_sps.append(steps * B / (time.perf_counter() - t0))
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"bench: wrote profiler trace to {profile_dir}",
+              file=sys.stderr)
 
     n_chips = jax.local_device_count()
     sps_per_chip = float(np.median(window_sps)) / n_chips
 
     print(f"bench: train {sps_per_chip:.1f} samples/s/chip; "
-          "latency bench...", file=sys.stderr, flush=True)
+          "loader bench...", file=sys.stderr, flush=True)
+    try:
+        loader_sps = bench_loader()
+    except Exception as e:
+        print(f"bench: loader bench failed: {e!r}", file=sys.stderr)
+        loader_sps = None
+    print("bench: latency bench...", file=sys.stderr, flush=True)
     p50_ms, p99_ms = bench_latency()
 
     rec = {
@@ -215,6 +258,10 @@ def main():
         "p99_latency_ms": round(p99_ms, 3),
         "latency_target_ms": 10.0,
     }
+    if loader_sps is not None:
+        # host-side input pipeline rate (full preprocessing + collate);
+        # training is input-bound when this is below the train value
+        rec["loader_samples_per_sec_host"] = round(loader_sps, 2)
     if step_flops:
         steps_per_sec = sps_per_chip / B
         kind = jax.devices()[0].device_kind.lower()

@@ -179,6 +179,17 @@ class SubMConv(nn.Module):
         return subm_conv_apply(x, nmap, weight, bias)
 
 
+def rpe_bias(table, rel_pos, pos_bnd):
+    """Relative-position bias lookup (reference model.py:307-326 RPE.forward):
+    rel_pos (..., P, P, 3) int32 grid-coord deltas are clamped to
+    [-pos_bnd, pos_bnd], shifted positive, offset per axis by rpe_num, and the
+    three axis rows of `table` (3*rpe_num, H) are summed -> (..., P, P, H)."""
+    rpe_num = 2 * pos_bnd + 1
+    idx = (jnp.clip(rel_pos, -pos_bnd, pos_bnd) + pos_bnd
+           + jnp.arange(3, dtype=rel_pos.dtype) * rpe_num)
+    return jnp.sum(jnp.take(table, idx, axis=0), axis=-2)
+
+
 class SerializedAttention(nn.Module):
     """Patch attention over one serialized order (reference model.py:329-557).
 
@@ -197,6 +208,10 @@ class SerializedAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     upcast_softmax: bool = True
+    # learned relative-position bias on the patch logits (reference
+    # model.py:307-326; off in the release configs — the flash path can't
+    # carry it, reference model.py:367-368 — but accepted as a config option)
+    enable_rpe: bool = False
     dtype: Any = None
     # 'auto' = Pallas flash kernel on TPU when attention dropout is inactive
     # (inference / attn_drop=0), XLA einsum otherwise; 'xla' / 'pallas'
@@ -204,17 +219,23 @@ class SerializedAttention(nn.Module):
     attn_impl: str = "auto"
 
     def _use_pallas(self, deterministic):
-        if self.attn_impl in ("pallas", "pallas_interpret"):
+        if self.enable_rpe:
+            # like the reference flash path, the kernel has no bias input
+            return False
+        if self.attn_impl == "pallas":
             return True
+        if self.attn_impl == "pallas_interpret":
+            # the CPU interpreter has no real PRNG (prng_random_bits stubs
+            # to zeros), so the in-kernel dropout variant is TPU-only
+            return deterministic or self.attn_drop == 0.0
         if self.attn_impl == "auto":
             from ..ops.pallas_attention import pallas_available
-            return ((deterministic or self.attn_drop == 0.0)
-                    and pallas_available())
+            return pallas_available()
         return False
 
     @nn.compact
     def __call__(self, feat, order, inverse, src_pos, key_valid,
-                 deterministic=True):
+                 deterministic=True, grid_coord=None):
         B, N, C = feat.shape
         H = self.num_heads
         P = self.patch_size
@@ -235,20 +256,45 @@ class SerializedAttention(nn.Module):
             k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
 
         if self._use_pallas(deterministic):
-            from ..ops.pallas_attention import patch_attention
+            from ..ops.pallas_attention import (
+                patch_attention, patch_attention_dropout,
+            )
+            interp = self.attn_impl == "pallas_interpret"
             # (B, NP, P, H, Dh) -> (B*NP, H, P, Dh)
             qg = q.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
             kg = k.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
             vg = v.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
-            og = patch_attention(
-                qg, kg, vg, key_valid.reshape(B * NP, P), float(scale),
-                self.attn_impl == "pallas_interpret")
+            kv = key_valid.reshape(B * NP, P)
+            if not deterministic and self.attn_drop > 0.0:
+                # in-kernel dropout: probs + keep-mask regenerated from the
+                # seed in the Pallas backward, so no (G,H,P,P) residuals
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32)
+                og = patch_attention_dropout(
+                    qg, kg, vg, kv, seed, float(scale),
+                    float(self.attn_drop), interp)
+            else:
+                og = patch_attention(qg, kg, vg, kv, float(scale), interp)
             out = og.reshape(B, NP, H, P, Dh).transpose(0, 1, 3, 2, 4)
             out = out.reshape(B, N, C).astype(qkv.dtype)
         else:
             # (B, NP, H, P, P)
             logits = jnp.einsum("bnphd,bnqhd->bnhpq", q * scale, k,
                                 preferred_element_type=jnp.float32)
+            if self.enable_rpe:
+                assert grid_coord is not None, \
+                    "enable_rpe needs grid_coord in the attention aux"
+                # reference pos_bnd/table sizing (model.py:312-314)
+                pos_bnd = int((4 * P) ** (1 / 3) * 2)
+                table = self.param(
+                    "rpe_table", trunc_init,
+                    (3 * (2 * pos_bnd + 1), self.num_heads))
+                gc = gather_sorted(grid_coord.astype(jnp.int32), o, src_pos)
+                gc = gc.reshape(B, NP, P, 3)
+                rel = gc[:, :, :, None, :] - gc[:, :, None, :, :]
+                bias = rpe_bias(table.astype(jnp.float32), rel, pos_bnd)
+                logits = logits + bias.transpose(0, 1, 4, 2, 3)
             kv_mask = key_valid.reshape(B, NP, 1, 1, P)
             logits = jnp.where(kv_mask, logits, -1e9)
             if self.upcast_softmax:
@@ -319,6 +365,7 @@ class Block(nn.Module):
     pre_norm: bool = True
     norm_adaptive: bool = False
     upcast_softmax: bool = True
+    enable_rpe: bool = False
     dtype: Any = None
     attn_impl: str = "auto"
     conv_interpret: bool = False  # run the windowed CPE kernel interpreted
@@ -360,9 +407,11 @@ class Block(nn.Module):
             qk_scale=self.qk_scale, qk_norm=self.qk_norm,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax, name="attn",
+            enable_rpe=self.enable_rpe,
             dtype=self.dtype, attn_impl=self.attn_impl,
         )(x, pc_aux["order"], pc_aux["inverse"], pc_aux["src_pos"],
-          pc_aux["key_valid"], deterministic=deterministic)
+          pc_aux["key_valid"], deterministic=deterministic,
+          grid_coord=pc_aux.get("grid_coord"))
         if self.drop_path > 0:
             x = drop_path(x, self.drop_path, deterministic,
                           self.make_rng("dropout"))

@@ -126,6 +126,9 @@ class PointTransformerV3TPU(nn.Module):
     pre_norm: bool = True
     shuffle_orders: bool = True
     upcast_softmax: bool = True
+    # learned relative-position bias in patch attention (reference
+    # model.py:307-326/888; release configs train with it off)
+    enable_rpe: bool = False
     # conditioning
     use_cross_attn: bool = False     # CA variant
     norm_adaptive: bool = False      # AdaNorm variant (pdnorm_adaptive)
@@ -193,6 +196,7 @@ class PointTransformerV3TPU(nn.Module):
         return {
             "order": order, "inverse": inverse, "src_pos": src_pos,
             "key_valid": key_valid, "cpe_nmap": cpe_nmap, "mask": mask,
+            "grid_coord": grid_coord,
         }
 
     @nn.compact
@@ -280,7 +284,8 @@ class PointTransformerV3TPU(nn.Module):
                     attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                     drop_path=blk_dp, order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
-                    upcast_softmax=self.upcast_softmax, dtype=dt,
+                    upcast_softmax=self.upcast_softmax,
+                    enable_rpe=self.enable_rpe, dtype=dt,
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"enc{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic, None)
@@ -327,7 +332,8 @@ class PointTransformerV3TPU(nn.Module):
                     attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                     drop_path=dp_slice[i], order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
-                    upcast_softmax=self.upcast_softmax, dtype=dt,
+                    upcast_softmax=self.upcast_softmax,
+                    enable_rpe=self.enable_rpe, dtype=dt,
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"dec{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic,

@@ -17,9 +17,12 @@ IS the 128-point patch.
 
 Autodiff: forward runs the kernel; backward recomputes attention with
 plain XLA einsums (custom_vjp) — O(P^2) recompute per patch, the standard
-flash trade. Dropout on attention probabilities is not implemented in the
-kernel, so callers route through the XLA path when attn dropout is active
-(training); the kernel serves the latency-critical inference path.
+flash trade. For training with attention dropout (release config
+attn_drop=0.1), patch_attention_dropout keeps the dropout INSIDE the
+kernel: both forward and a full Pallas backward regenerate the
+probabilities and the keep-mask from the per-(patch, head) PRNG seed, so
+no (G, H, P, P) tensor ever reaches HBM (verified exactly on-chip against
+an XLA reference using the dumped mask; see tests/test_pallas_attention.py).
 
 Numerics: compiled on a real TPU the kernel matches the XLA einsum path to
 ~1.4e-4 max abs (MXU f32 accumulation differs from the 'highest'-precision
@@ -59,10 +62,10 @@ def _forward(q, k, v, key_valid, scale, interpret=False):
     G, H, P, Dh = q.shape
     m = key_valid.astype(jnp.int32).reshape(G, 1, P)
     qkv_spec = pl.BlockSpec((1, 1, P, Dh), lambda g, h: (g, h, 0, 0),
-                            memory_space=pltpu.ANY if interpret
+                            memory_space=pl.ANY if interpret
                             else pltpu.VMEM)
     m_spec = pl.BlockSpec((1, 1, P), lambda g, h: (g, 0, 0),
-                          memory_space=pltpu.ANY if interpret
+                          memory_space=pl.ANY if interpret
                           else pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -114,3 +117,157 @@ def pallas_available():
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# --------------------------------------------------------------------------
+# training path: attention dropout inside the kernel
+# --------------------------------------------------------------------------
+#
+# The XLA training path materializes the (G, H, P, P) probability tensor in
+# HBM twice (forward activation + dropout mask) because autodiff saves it
+# for the backward matmuls. Keeping dropout inside the kernel and
+# REGENERATING both the probabilities and the mask from the per-program
+# PRNG seed in a Pallas backward kernel (the standard flash-attention
+# trade: O(P^2) recompute per patch, zero O(P^2) HBM residuals) removes
+# that traffic entirely — only q/k/v and the (P, Dh) outputs ever touch
+# HBM. No online-softmax tiling is needed at P=128: the whole patch lives
+# in VMEM.
+
+def _dropout_mask(shape, rate):
+    """Keep-mask from the already-seeded per-program PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return bits >= thresh
+
+
+def _probs(q_ref, k_ref, m_ref, scale):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    mask = m_ref[0] > 0
+    logits = jnp.where(mask, logits, NEG_INF)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _attn_drop_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, *,
+                          scale, rate):
+    # Mosaic caps prng_seed at 2 words: fold (patch, head) into one
+    pltpu.prng_seed(seed_ref[0, 0],
+                    pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+    a = _probs(q_ref, k_ref, m_ref, scale)
+    keep = _dropout_mask(a.shape, rate)
+    a = jnp.where(keep, a / (1.0 - rate), 0.0)
+    v = v_ref[0, 0]
+    o_ref[0, 0] = jax.lax.dot_general(
+        a.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_drop_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, g_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, rate):
+    # Mosaic caps prng_seed at 2 words: fold (patch, head) into one
+    pltpu.prng_seed(seed_ref[0, 0],
+                    pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+    a = _probs(q_ref, k_ref, m_ref, scale)           # (P, P) f32, pre-drop
+    keep = _dropout_mask(a.shape, rate)              # same bits as forward
+    inv_keep = 1.0 / (1.0 - rate)
+    ad = jnp.where(keep, a * inv_keep, 0.0)
+
+    g = g_ref[0, 0].astype(jnp.float32)              # (P, Dh)
+    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+
+    dv = jax.lax.dot_general(                        # ad^T @ g
+        ad, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dad = jax.lax.dot_general(                       # g @ v^T
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da = jnp.where(keep, dad * inv_keep, 0.0)
+    # softmax vjp: ds = a * (da - sum(da * a, axis=-1))
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(                        # ds @ k
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(                        # ds^T @ q
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _drop_specs(P, Dh, interpret):
+    space = pl.ANY if interpret else pltpu.VMEM
+    qkv_spec = pl.BlockSpec((1, 1, P, Dh), lambda g, h: (g, h, 0, 0),
+                            memory_space=space)
+    m_spec = pl.BlockSpec((1, 1, P), lambda g, h: (g, 0, 0),
+                          memory_space=space)
+    seed_spec = pl.BlockSpec((1, 1), lambda g, h: (0, 0),
+                             memory_space=pltpu.SMEM)
+    return qkv_spec, m_spec, seed_spec
+
+
+def _drop_forward(q, k, v, key_valid, seed, scale, rate, interpret=False):
+    G, H, P, Dh = q.shape
+    m = key_valid.astype(jnp.int32).reshape(G, 1, P)
+    qkv_spec, m_spec, seed_spec = _drop_specs(P, Dh, interpret)
+    return pl.pallas_call(
+        functools.partial(_attn_drop_fwd_kernel, scale=scale, rate=rate),
+        grid=(G, H),
+        in_specs=[seed_spec, qkv_spec, qkv_spec, qkv_spec, m_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(seed.reshape(1, 1).astype(jnp.int32), q, k, v, m)
+
+
+def _drop_backward(q, k, v, key_valid, seed, g, scale, rate,
+                   interpret=False):
+    G, H, P, Dh = q.shape
+    m = key_valid.astype(jnp.int32).reshape(G, 1, P)
+    qkv_spec, m_spec, seed_spec = _drop_specs(P, Dh, interpret)
+    return pl.pallas_call(
+        functools.partial(_attn_drop_bwd_kernel, scale=scale, rate=rate),
+        grid=(G, H),
+        in_specs=[seed_spec, qkv_spec, qkv_spec, qkv_spec, m_spec, qkv_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        interpret=interpret,
+    )(seed.reshape(1, 1).astype(jnp.int32), q, k, v, m, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def patch_attention_dropout(q, k, v, key_valid, seed, scale, rate,
+                            interpret=False):
+    """Masked per-patch attention with in-kernel attention dropout.
+
+    q/k/v: (G, H, P, Dh); key_valid: (G, P); seed: int32 scalar array (the
+    per-step dropout rng folded to one word — each (patch, head) program
+    reseeds with (seed, g, h) so masks are independent). Both forward and
+    backward regenerate probabilities and the keep-mask in Pallas; nothing
+    O(P^2) is ever written to HBM.
+    """
+    return _drop_forward(q, k, v, key_valid, seed, scale, rate,
+                         interpret=interpret)
+
+
+def _drop_fwd(q, k, v, key_valid, seed, scale, rate, interpret):
+    out = _drop_forward(q, k, v, key_valid, seed, scale, rate,
+                        interpret=interpret)
+    return out, (q, k, v, key_valid, seed)
+
+
+def _drop_bwd(scale, rate, interpret, res, g):
+    q, k, v, key_valid, seed = res
+    dq, dk, dv = _drop_backward(q, k, v, key_valid, seed, g, scale, rate,
+                                interpret=interpret)
+    return dq, dk, dv, None, None
+
+
+patch_attention_dropout.defvjp(_drop_fwd, _drop_bwd)

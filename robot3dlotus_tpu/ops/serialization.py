@@ -47,6 +47,22 @@ def z_order_encode(grid_coord: jnp.ndarray, depth: int = 10) -> jnp.ndarray:
     return key
 
 
+def z_order_axis_interleave(v: jnp.ndarray, axis: int,
+                            depth: int = 10) -> jnp.ndarray:
+    """Interleave one axis' bits into its Morton lanes (axis 0/1/2 = x/y/z
+    -> bit 3i+2 / 3i+1 / 3i). A full z-order key is the OR of the three axis
+    interleaves — which makes stencil-neighbor keys cheap: shift each axis
+    by its offset once and OR, instead of re-encoding all k^3 query points
+    (ops/sparse_conv.py build_neighbor_map)."""
+    assert depth <= MAX_DEPTH_I32
+    v = v.astype(jnp.int32)
+    key = jnp.zeros_like(v)
+    for i in range(depth):
+        mask = jnp.int32(1 << i)
+        key = key | ((v & mask) << (2 * i + (2 - axis)))
+    return key
+
+
 def _hilbert_axes_to_transpose(x, y, z, depth: int):
     """Skilling's AxesToTranspose for 3 dims, branchless/vectorized.
 

@@ -67,3 +67,88 @@ def test_model_level_pallas_interpret_matches_xla():
     for k2 in ("pos", "rot", "open"):
         np.testing.assert_allclose(
             np.asarray(px[k2]), np.asarray(pp[k2]), atol=5e-5, rtol=1e-4)
+
+
+TPU_ONLY = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="in-kernel dropout needs the hardware PRNG (the CPU "
+           "interpreter stubs prng_random_bits to zeros)")
+
+
+def _drop_setup(P=128, Dh=64):
+    rng = np.random.RandomState(0)
+    G, H = 2, 2
+    q, k, v = (jnp.asarray(rng.randn(G, H, P, Dh).astype(np.float32))
+               for _ in range(3))
+    kvalid = jnp.asarray(rng.rand(G, P) > 0.2)
+    return q, k, v, kvalid, rng
+
+
+@TPU_ONLY
+def test_dropout_kernel_deterministic_and_seed_sensitive():
+    from robot3dlotus_tpu.ops.pallas_attention import patch_attention_dropout
+    q, k, v, kvalid, _ = _drop_setup()
+    f = jax.jit(lambda *a: patch_attention_dropout(*a, 0.125, 0.5, False))
+    s7 = jnp.asarray(7, jnp.int32)
+    o1, o2 = f(q, k, v, kvalid, s7), f(q, k, v, kvalid, s7)
+    o3 = f(q, k, v, kvalid, jnp.asarray(8, jnp.int32))
+    assert bool(jnp.all(o1 == o2))
+    assert bool(jnp.any(o1 != o3))
+
+
+@TPU_ONLY
+def test_dropout_kernel_exact_vs_masked_reference():
+    """Dump the kernel's keep-mask with a twin kernel, then require the
+    forward AND all three custom-vjp gradients to match an XLA reference
+    that applies that exact mask."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from robot3dlotus_tpu.ops import pallas_attention as pa
+
+    q, k, v, kvalid, rng = _drop_setup()
+    G, H, P, Dh = q.shape
+    seed = jnp.asarray(7, jnp.int32)
+    scale, rate = 0.125, 0.3
+
+    def mask_kernel(seed_ref, o_ref, *, rate):
+        pltpu.prng_seed(seed_ref[0, 0],
+                        pl.program_id(0) * pl.num_programs(1) +
+                        pl.program_id(1))
+        keep = pa._dropout_mask((o_ref.shape[-2], o_ref.shape[-1]), rate)
+        o_ref[0, 0] = keep.astype(jnp.int32)
+
+    mask = pl.pallas_call(
+        functools.partial(mask_kernel, rate=rate),
+        grid=(G, H),
+        in_specs=[pl.BlockSpec((1, 1), lambda g, h: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 1, P, P), lambda g, h: (g, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, H, P, P), jnp.int32),
+    )(seed.reshape(1, 1))
+    mask = jnp.asarray(np.asarray(mask).astype(bool))
+    frac = float(mask.mean())
+    assert abs(frac - (1 - rate)) < 0.01, frac
+
+    def ref_fn(q_, k_, v_):
+        logits = jnp.einsum("ghpd,ghqd->ghpq",
+                            (q_ * scale).astype(jnp.float32),
+                            k_.astype(jnp.float32))
+        logits = jnp.where(kvalid[:, None, None, :], logits, -1e9)
+        a = jax.nn.softmax(logits, -1)
+        ad = jnp.where(mask, a / (1 - rate), 0.0)
+        return jnp.einsum("ghpq,ghqd->ghpd", ad, v_.astype(jnp.float32))
+
+    fwd_k = jax.jit(lambda *a: pa.patch_attention_dropout(
+        *a, scale, rate, False))(q, k, v, kvalid, seed)
+    np.testing.assert_allclose(np.asarray(fwd_k), np.asarray(ref_fn(q, k, v)),
+                               atol=2e-4)
+
+    g = jnp.asarray(rng.randn(G, H, P, Dh).astype(np.float32))
+    _, vjp = jax.vjp(ref_fn, q, k, v)
+    refs = vjp(g)
+    kers = pa._drop_backward(q, k, v, kvalid, seed, g, scale, rate)
+    for name, a, b in zip(("dq", "dk", "dv"), kers, refs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   err_msg=name)

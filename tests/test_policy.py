@@ -162,3 +162,65 @@ def test_bfloat16_compute_path_close_to_fp32():
     l32 = compute_loss(p32, batch, act, LOSS_CFG)["total"]
     lbf = compute_loss(pbf, batch, act, LOSS_CFG)["total"]
     assert abs(float(l32) - float(lbf)) / max(abs(float(l32)), 1e-6) < 0.05
+
+
+def test_rpe_bias_matches_reference_torch():
+    """rpe_bias vs a direct torch port of the reference RPE.forward
+    (model.py:307-326): clamp rel coords, axis-strided table lookup, sum."""
+    import torch
+    from robot3dlotus_tpu.models.layers import rpe_bias
+
+    P, H = 16, 4
+    pos_bnd = int((4 * P) ** (1 / 3) * 2)
+    rpe_num = 2 * pos_bnd + 1
+    rng = np.random.RandomState(0)
+    table = rng.randn(3 * rpe_num, H).astype(np.float32)
+    rel = rng.randint(-pos_bnd - 3, pos_bnd + 4, (5, P, P, 3)).astype(np.int32)
+
+    ours = np.asarray(rpe_bias(jnp.asarray(table), jnp.asarray(rel), pos_bnd))
+
+    coord = torch.from_numpy(rel)
+    idx = (coord.clamp(-pos_bnd, pos_bnd) + pos_bnd
+           + torch.arange(3) * rpe_num)
+    out = torch.from_numpy(table).index_select(0, idx.reshape(-1))
+    ref = out.view(idx.shape + (-1,)).sum(3).numpy()  # (N, P, P, H)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_forward_with_rpe_enabled():
+    """enable_rpe=True runs, adds rpe_table params per block, and changes the
+    logits relative to the rpe-off model with identical other params."""
+    cfg = dict(PTV3_CFG, enable_rpe=True, attn_drop=0.0, shuffle_orders=False)
+    model = SimplePolicyTPU(ptv3_cfg=cfg, act_cfg=ACT_CFG, variant="ca")
+    batch = fake_batch()
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, batch,
+                           deterministic=True)
+    tables = [p for p in jax.tree_util.tree_leaves_with_path(
+        variables["params"]) if "rpe_table" in jax.tree_util.keystr(p[0])]
+    assert len(tables) > 0
+    preds = model.apply(variables, batch, deterministic=True)
+    assert np.isfinite(np.asarray(preds["pos"])).all()
+
+    # zero tables == rpe-off numerics (the bias enters additively)
+    zeroed = jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.zeros_like(x)
+        if "rpe_table" in jax.tree_util.keystr(p) else x,
+        variables["params"])
+    off = SimplePolicyTPU(ptv3_cfg=dict(cfg, enable_rpe=False),
+                          act_cfg=ACT_CFG, variant="ca")
+    p_zero = model.apply({"params": zeroed,
+                          "batch_stats": variables["batch_stats"]},
+                         batch, deterministic=True)
+    p_off = off.apply({"params": _strip_rpe(variables["params"]),
+                       "batch_stats": variables["batch_stats"]},
+                      batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(p_zero["pos"]),
+                               np.asarray(p_off["pos"]), atol=1e-5)
+
+
+def _strip_rpe(params):
+    import flax
+    flat = flax.traverse_util.flatten_dict(params)
+    return flax.traverse_util.unflatten_dict(
+        {k: v for k, v in flat.items() if "rpe_table" not in k})
