@@ -153,6 +153,27 @@ def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
     return num_batches * batch_clouds / dt
 
 
+def probe_device_matmul(repeats=3):
+    """Raw device capability probe: completion-forced bf16 4096^3 matmul
+    TFLOP/s. Independent of this framework's code — it attributes a low
+    headline number to the platform vs the program (see BENCH_NOTES.md:
+    the axon-tunneled chip of the dev rig executes ~1000x below v5e peak,
+    so the record carries its own evidence)."""
+    import jax
+    import jax.numpy as jnp
+    n = 4096
+    x = jnp.ones((n, n), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    float(f(x).sum())  # compile + warmup
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(f(x).sum())  # readback forces completion through the tunnel
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return 2 * n ** 3 / best / 1e12
+
+
 def main():
     import jax
     # persistent compile cache: the release-config train step is a large XLA
@@ -262,15 +283,27 @@ def main():
         # host-side input pipeline rate (full preprocessing + collate);
         # training is input-bound when this is below the train value
         rec["loader_samples_per_sec_host"] = round(loader_sps, 2)
+    kind = jax.devices()[0].device_kind
+    rec["device_kind"] = kind
+    try:
+        rec["device_matmul_tflops"] = round(probe_device_matmul(), 3)
+    except Exception as e:
+        print(f"bench: matmul probe failed: {e!r}", file=sys.stderr)
     if step_flops:
         steps_per_sec = sps_per_chip / B
-        kind = jax.devices()[0].device_kind.lower()
         # bf16 MXU peak per chip (the standard MFU denominator)
         peak = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
                 "v5p": 459e12, "v6": 918e12, "cpu": 1e12}
-        peak_flops = next((v for k, v in peak.items() if k in kind), 197e12)
+        peak_flops = next((v for k, v in peak.items() if k in kind.lower()),
+                          197e12)
         rec["flops_per_step"] = step_flops
         rec["mfu"] = round(step_flops * steps_per_sec / peak_flops, 4)
+        if rec.get("device_matmul_tflops"):
+            # MFU against what THIS device actually sustains on a plain
+            # matmul — the program-efficiency number the platform can't skew
+            rec["mfu_vs_device_matmul"] = round(
+                step_flops * steps_per_sec /
+                (rec["device_matmul_tflops"] * 1e12), 4)
     print(json.dumps(rec))
 
 

@@ -125,6 +125,27 @@ class PolicyHTTPServer:
         self.httpd.shutdown()
 
 
+class HTTPActioner:
+    """Adapts the RLBenchEnv.evaluate actioner API (predict with
+    task_str/variation/instructions, environments.py:167-170) to the
+    challenge wire format (taskvar/instruction) over an HTTP client."""
+
+    def __init__(self, client):
+        self.client = client
+
+    def predict(self, task_str=None, variation=None, step_id=None,
+                obs_state_dict=None, episode_id=None, instructions=None):
+        import random
+        out = self.client.predict(
+            taskvar=f"{task_str}+{variation}", episode_id=episode_id,
+            step_id=step_id,
+            instruction=random.choice(instructions) if instructions else None,
+            obs_state_dict=obs_state_dict)
+        if "error" in out:
+            raise RuntimeError(f"server error: {out['error']}")
+        return {"action": np.asarray(out["action"])}
+
+
 class PolicyHTTPClient:
     """reference challenges/client.py:21-128 (requests + msgpack)."""
 
@@ -139,6 +160,95 @@ class PolicyHTTPClient:
             headers={"Content-Type": "application/msgpack"})
         resp.raise_for_status()
         return _unpack_np(resp.content)
+
+
+def run_client(taskvar, client, env, num_episodes=25, max_steps=25,
+               output_file=None, seed=100):
+    """Closed-loop challenge client (reference challenges/client.py:21-128):
+    rolls `num_episodes` episodes of one taskvar against a policy server,
+    POSTing each observation and executing the returned action; appends one
+    jsonl record with the success rate. `env` is any object with the
+    ReplayEnv/RLBenchEnv driver API (reset/step/instructions/close)."""
+    import random
+
+    from .common import write_to_file
+
+    task_str, variation = taskvar.split("+")
+    success = 0
+    for episode_id in range(num_episodes):
+        try:
+            obs = env.reset(task_str, int(variation), episode_id, seed=seed)
+        except Exception:
+            continue
+        instruction = random.choice(env.instructions(taskvar))
+        reward = 0.0
+        for step_id in range(max_steps):
+            out = client.predict(
+                taskvar=taskvar, episode_id=episode_id, step_id=step_id,
+                instruction=instruction, obs_state_dict=obs)
+            if "error" in out:
+                raise RuntimeError(f"server error: {out['error']}")
+            try:
+                obs, reward, done = env.step(np.asarray(out["action"]))
+            except Exception:  # IK/path/invalid-action fails the episode
+                reward, done = 0.0, True
+            if done or reward == 1:
+                break
+        success += int(reward == 1)
+    rec = {"task": task_str, "variation": int(variation),
+           "num_demos": num_episodes, "sr": success / max(num_episodes, 1)}
+    if output_file:
+        write_to_file(output_file, rec)
+    return rec
+
+
+def client_main(argv=None):
+    """CLI twin of reference challenges/client.py __main__: drive a live
+    RLBench sim (or, with --replay_store, the sim-free ReplayEnv) against a
+    running policy server."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=run_client.__doc__)
+    p.add_argument("--taskvar", required=True, help="e.g. push_button+0")
+    p.add_argument("--server_addr", default="http://127.0.0.1:13000")
+    p.add_argument("--num_episodes", type=int, default=25)
+    p.add_argument("--max_steps", type=int, default=25)
+    p.add_argument("--microstep_data_dir", default="",
+                   help="replay recorded demo states instead of live resets")
+    p.add_argument("--replay_store", default=None,
+                   help="LMDB keystep store path: evaluate sim-free against "
+                        "ReplayEnv instead of launching RLBench")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--output_file", default=None)
+    args = p.parse_args(argv)
+
+    client = PolicyHTTPClient(args.server_addr)
+    if args.replay_store:
+        from ..train.datasets.store import open_store
+        from .server import ReplayEnv
+        env = ReplayEnv(open_store(args.replay_store))
+        rec = run_client(args.taskvar, client, env,
+                         num_episodes=args.num_episodes,
+                         max_steps=args.max_steps,
+                         output_file=args.output_file)
+        env.close()
+    else:
+        from .common import write_to_file
+        from ..rlbench.environments import RLBenchEnv
+        env = RLBenchEnv(
+            data_path=args.microstep_data_dir, apply_rgb=True, apply_pc=True,
+            apply_mask=False, headless=True,
+            image_size=(args.image_size, args.image_size))
+        task_str, variation = args.taskvar.split("+")
+        sr = env.evaluate(
+            task_str, int(variation), max_episodes=args.max_steps,
+            num_demos=args.num_episodes, log_dir=None,
+            actioner=HTTPActioner(client), max_tries=10)
+        rec = {"task": task_str, "variation": int(variation),
+               "num_demos": args.num_episodes, "sr": sr}
+        if args.output_file:
+            write_to_file(args.output_file, rec)
+    print(rec, flush=True)
 
 
 def main(argv=None):
@@ -178,4 +288,10 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    # `python -m robot3dlotus_tpu.eval.serving client ...` runs the
+    # closed-loop challenge client; anything else serves.
+    if len(_sys.argv) > 1 and _sys.argv[1] == "client":
+        client_main(_sys.argv[2:])
+    else:
+        main()

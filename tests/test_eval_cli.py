@@ -141,3 +141,30 @@ def test_asset_resolver(tmp_path, monkeypatch):
         assert len(json.load(open(p))) == 31  # L1 split size (SURVEY §6)
     # None passes through
     assert resolve_asset(None) is None
+
+
+def test_http_client_closed_loop(tmp_path):
+    """Challenge client driver (reference challenges/client.py:21-128):
+    ReplayEnv episodes rolled against a live HTTP policy server; SR record
+    written to jsonl."""
+    import json
+    import numpy as np
+    from robot3dlotus_tpu.eval.serving import (
+        PolicyHTTPClient, PolicyHTTPServer, RandomActioner, run_client)
+    from robot3dlotus_tpu.eval.server import ReplayEnv
+    from robot3dlotus_tpu.train.datasets.store import SyntheticStore
+
+    server = PolicyHTTPServer(RandomActioner(), port=0)
+    server.start_background()
+    try:
+        env = ReplayEnv(SyntheticStore(points_per_step=256))
+        client = PolicyHTTPClient(f"http://127.0.0.1:{server.port}")
+        out = tmp_path / "client_results.jsonl"
+        rec = run_client("synthetic_task0+0", client, env,
+                         num_episodes=2, max_steps=3, output_file=str(out))
+        assert rec["task"] == "synthetic_task0"
+        assert 0.0 <= rec["sr"] <= 1.0
+        rows = [json.loads(l) for l in open(out)]
+        assert rows == [rec]
+    finally:
+        server.shutdown()
