@@ -189,8 +189,12 @@ class PointTransformerV3TPU(nn.Module):
         windowed, _ = self._conv_windowed()
         if windowed:
             from ..ops.pallas_conv import build_window_map
+            # reuse this stage's first-order sort (any SFC order is a
+            # locality-preserving window order) instead of re-argsorting
             cpe_nmap = build_window_map(grid_coord, mask, 3, depth,
-                                        halo=self.conv_halo)
+                                        halo=self.conv_halo,
+                                        sort_order=order[0],
+                                        sort_inverse=inverse[0])
         else:
             cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth)
         return {
@@ -365,10 +369,10 @@ class PointTransformerV3TPU(nn.Module):
         codes0_sorted = jnp.take_along_axis(codes[0], o0, axis=-1)
         maps = build_pool_maps(codes0_sorted, o0, i0, cur["counts"], child_cap)
 
-        feat_sorted = jnp.take_along_axis(
-            cur["feat"],
-            jnp.broadcast_to(o0[..., None],
-                             o0.shape + (cur["feat"].shape[-1],)), axis=1)
+        from ..ops.pallas_gather import permute_rows
+        feat_sorted = permute_rows(cur["feat"], o0)
+        # 3-wide coords stay on the XLA gather (lane-padded one-hot matmuls
+        # would waste 40x MXU work for negligible traffic)
         coord_sorted = jnp.take_along_axis(
             cur["coord"],
             jnp.broadcast_to(o0[..., None], o0.shape + (3,)), axis=1)

@@ -111,10 +111,18 @@ patch_attention.defvjp(_fwd, _bwd)
 
 
 def pallas_available():
-    """Kernel path requires an actual TPU backend (the CPU interpreter is
-    for tests only)."""
+    """Whether 'auto' impl selection should pick the Pallas kernels.
+
+    Requires an actual TPU backend (the CPU interpreter is for tests only)
+    AND a single-device process: the training step is partitioned by GSPMD
+    jit (train/trainer.py make_train_step), which cannot shard a pallas_call
+    — on a multi-chip mesh it would replicate the kernel's operands across
+    devices instead of splitting the batch. The XLA paths partition cleanly,
+    so 'auto' falls back to them under a mesh; configs that run the kernels
+    inside a per-device shard_map (or accept replication) can still force
+    attn_impl/conv_impl='pallas'."""
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:
         return False
 

@@ -83,8 +83,15 @@ def _choose_tile(n: int) -> int:
 
 def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
                      halo: int = 256, far_capacity: int | None = None,
-                     tile: int | None = None) -> WindowMap:
-    """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool."""
+                     tile: int | None = None, sort_order=None,
+                     sort_inverse=None) -> WindowMap:
+    """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool.
+
+    sort_order/sort_inverse: optionally reuse an existing spatially-local
+    serialization sort (any SFC order qualifies — the window statistics
+    hold for hilbert as for z) instead of argsorting z-codes again; the
+    backbone passes its per-stage aux order (models/ptv3.py _make_aux).
+    """
     B, N, _ = grid_coord.shape
     nmap = build_neighbor_map(grid_coord, mask, kernel_size, depth)
     K = nmap.idx.shape[-1]
@@ -97,17 +104,33 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
         far_capacity = max(P, N // 2)
     F = 1 if Wn == N else far_capacity  # no far links possible at Wn == N
 
-    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
-    codes = jnp.where(mask, z_order_encode(grid_coord, depth), sentinel)
-    order = jnp.argsort(codes, axis=-1).astype(jnp.int32)       # (B, N)
-    inverse = jnp.argsort(order, axis=-1).astype(jnp.int32)
+    if sort_order is not None:
+        order = sort_order.astype(jnp.int32)
+        inverse = (sort_inverse if sort_inverse is not None
+                   else jnp.argsort(order, axis=-1)).astype(jnp.int32)
+    else:
+        sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+        codes = jnp.where(mask, z_order_encode(grid_coord, depth), sentinel)
+        order = jnp.argsort(codes, axis=-1).astype(jnp.int32)   # (B, N)
+        inverse = jnp.argsort(order, axis=-1).astype(jnp.int32)
 
-    # neighbor sorted slots, arranged by destination sorted slot
+    # neighbor sorted slots, arranged by destination sorted slot. The row
+    # rearrangement (B, N, K+1) -> sorted order is a row permute; small
+    # integers are exact in f32, so it can ride the one-hot MXU kernel
     q_orig = jnp.take_along_axis(
         inverse, nmap.idx.reshape(B, -1), axis=-1).reshape(B, N, K)
-    gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
-    q = jnp.take_along_axis(q_orig, gather_order, axis=1)        # (B, N, K)
-    ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
+    from .pallas_gather import permute_rows
+    from .pallas_attention import pallas_available
+    if pallas_available():
+        qo = jnp.concatenate(
+            [q_orig.astype(jnp.float32), nmap.ok.astype(jnp.float32)], -1)
+        qo = permute_rows(qo, order)
+        q = qo[..., :K].astype(jnp.int32)
+        ok = qo[..., K:] > 0.5
+    else:
+        gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
+        q = jnp.take_along_axis(q_orig, gather_order, axis=1)    # (B, N, K)
+        ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
 
     slot = jnp.arange(N, dtype=jnp.int32)
     win_start = jnp.clip(
@@ -117,14 +140,20 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
     rel = jnp.where(near, rel, -1).astype(jnp.int32)
     rel = rel.reshape(B, T, P, K).transpose(0, 1, 3, 2)          # (B,T,K,P)
 
-    # compact the far links
-    far = (ok & ~near).reshape(B, N * K)
-    fidx = jnp.argsort(~far, axis=-1, stable=True)[:, :F]        # far first
-    far_ok = jnp.take_along_axis(far, fidx, axis=-1)
+    # compact the far links: top_k over (far ? NK - i : 0) yields the first
+    # F far positions in order — same stable-compaction semantics as an
+    # argsort with far-first keys, at O(NK log F) instead of a full sort
+    NK = N * K
+    F = min(F, NK)
+    far = (ok & ~near).reshape(B, NK)
+    lin = jnp.arange(NK, dtype=jnp.int32)[None, :]
+    vals, _ = jax.lax.top_k(jnp.where(far, NK - lin, 0), F)      # (B, F)
+    far_ok = vals > 0
+    fidx = jnp.where(far_ok, NK - vals, 0)
     far_dst = (fidx // K).astype(jnp.int32)
     far_k = (fidx % K).astype(jnp.int32)
     far_src = jnp.take_along_axis(
-        q.reshape(B, N * K), fidx, axis=-1).astype(jnp.int32)
+        q.reshape(B, NK), fidx, axis=-1).astype(jnp.int32)
     far_src = jnp.where(far_ok, far_src, 0)
     far_dropped = (jnp.sum(far, axis=-1) - jnp.sum(far_ok, axis=-1)
                    ).astype(jnp.int32)
@@ -229,12 +258,9 @@ def _far_correction(feat_sorted, wmap: WindowMap, weight):
     """XLA pass over the compacted far links -> (B, N, Cout) fp32 sorted."""
     B, N, _ = feat_sorted.shape
     K, _, Cout = weight.shape
+    from .pallas_gather import permute_rows
     F = wmap.far_src.shape[1]
-    src = jnp.take_along_axis(
-        feat_sorted,
-        jnp.broadcast_to(wmap.far_src[..., None],
-                         (B, F, feat_sorted.shape[-1])), axis=1)
-    src = src.astype(jnp.float32)
+    src = permute_rows(feat_sorted, wmap.far_src).astype(jnp.float32)
     contrib = jnp.zeros((B, F, Cout), jnp.float32)
     for k in range(K):
         sel = (wmap.far_k == k) & wmap.far_ok
@@ -249,18 +275,17 @@ def _far_correction(feat_sorted, wmap: WindowMap, weight):
 
 
 def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
+    from .pallas_gather import permute_rows
     B, N, Cin = feat.shape
-    feat_sorted = jnp.take_along_axis(
-        feat, jnp.broadcast_to(wmap.order[..., None], (B, N, Cin)), axis=1)
+    # sort/unsort are row permutes: one-hot MXU kernel on TPU
+    # (ops/pallas_gather.py), XLA gather elsewhere
+    feat_sorted = permute_rows(feat, wmap.order, interpret=interpret)
     out_sorted = _windowed_core(
         feat_sorted, wmap.rel, weight,
         tile=wmap.tile, halo=wmap.halo, wn=wmap.window, interpret=interpret)
     if wmap.window < N:  # static: a full-cloud window has no far links
         out_sorted = out_sorted + _far_correction(feat_sorted, wmap, weight)
-    out = jnp.take_along_axis(
-        out_sorted,
-        jnp.broadcast_to(wmap.inverse[..., None],
-                         (B, N, out_sorted.shape[-1])), axis=1)
+    out = permute_rows(out_sorted, wmap.inverse, interpret=interpret)
     return out
 
 
@@ -296,12 +321,11 @@ def _windowed_op_bwd(interpret, res, g):
     K = weight.shape[0]
     feat32 = feat.astype(jnp.float32)
 
+    from .pallas_gather import permute_rows
+
     def step(acc, x):
         idx_k, ok_k, k = x
-        gathered = jnp.take_along_axis(
-            feat32, jnp.broadcast_to(idx_k[..., None],
-                                     idx_k.shape + (feat.shape[-1],)),
-            axis=1)
+        gathered = permute_rows(feat32, idx_k)
         gathered = jnp.where(ok_k[..., None], gathered, 0.0)
         dw_k = jnp.einsum("bnc,bnd->cd", gathered, g,
                           preferred_element_type=jnp.float32)

@@ -1,0 +1,195 @@
+"""Pallas TPU kernel for batched row permutation (gather by row index).
+
+The serialized-attention dataflow permutes the (B, N, C) feature array into
+each space-filling-curve order before attention and back afterwards
+(reference model.py:468-557 does the same with flat index_select). XLA
+lowers `jnp.take_along_axis` row gathers to scattered HBM reads that run
+far below copy bandwidth; profiled on the release config they had become
+the single largest cost of the forward pass (~0.36 s per block at
+B=16, N=4096, 3C=192 on the dev rig — more than the attention itself).
+
+TPU-first formulation: at every stage of this backbone the whole per-cloud
+feature array fits comfortably in VMEM (N halves while C doubles, keeping
+N*C*2 bytes ~1.5-3 MB << 16 MB). So the gather becomes a one-hot matmul —
+the canonical MXU gather:
+
+  grid (B, T):  x[b] stays VMEM-resident across the T row-tiles
+                (constant index_map -> fetched once per cloud);
+                each tile builds onehot (P, N) = (idx_tile == iota) in VMEM
+                and emits onehot @ x[b]  -> (P, C) on the MXU.
+
+HBM traffic is exactly one contiguous read of x and one contiguous write of
+the output — zero scattered transactions. The extra MXU work (2*N*N*C*B
+FLOPs) is the intended trade: MXU cycles are abundant, scattered HBM
+transactions are not.
+
+The custom VJP routes the cotangent through the transposed one-hot in the
+same resident-block style, accumulating dx[b] in VMEM across row tiles —
+which also makes the backward exact for duplicated indices (the duplicate-
+pad scheme of ops/patching.py maps several output rows to one source row;
+their cotangents sum).
+
+Non-float inputs (e.g. int32 grid coords for RPE) and shapes whose
+per-cloud array exceeds the VMEM budget fall back to take_along_axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-cloud feature bytes above which we fall back to XLA (x + fp32 dx +
+# one-hot must fit VMEM together with double-buffered tiles)
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _choose_tile(n: int) -> int:
+    for p in (128, 64, 32, 16, 8):
+        if n % p == 0:
+            return min(p, n)
+    return n
+
+
+def _take_rows(x, idx):
+    idx_e = idx[..., None]
+    idx_e = jnp.broadcast_to(idx_e, idx.shape + x.shape[2:])
+    return jnp.take_along_axis(x, idx_e, axis=1)
+
+
+def permute_available(x, idx):
+    """Whether the Pallas path applies to these operands."""
+    if x.ndim != 3 or idx.ndim != 2 or x.shape[0] != idx.shape[0]:
+        return False
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return False
+    n, c = x.shape[1], x.shape[2]
+    if n * c * x.dtype.itemsize > _VMEM_BUDGET_BYTES:
+        return False
+    if n * c * 4 > _VMEM_BUDGET_BYTES:  # fp32 dx accumulator in backward
+        return False
+    return True
+
+
+def _fwd_kernel(idx_ref, x_ref, o_ref):
+    idx = idx_ref[0, 0, 0]                                  # (P,) int32
+    x = x_ref[0]                                            # (N, C)
+    onehot = (idx[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], x.shape[0]),
+                                       1))
+    o_ref[0] = jax.lax.dot_general(
+        onehot.astype(x.dtype), x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(idx_ref, g_ref, dx_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dx_ref[0] = jnp.zeros(dx_ref.shape[1:], dx_ref.dtype)
+
+    idx = idx_ref[0, 0, 0]                                  # (P,) int32
+    g = g_ref[0].astype(jnp.float32)                        # (P, C)
+    onehot = (idx[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32,
+                                       (idx.shape[0], dx_ref.shape[1]), 1))
+    dx_ref[0] += jax.lax.dot_general(                       # (N, C)
+        onehot.astype(jnp.float32), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _permute_fwd_call(x, idx, interpret):
+    B, N, C = x.shape
+    M = idx.shape[1]
+    P = _choose_tile(M)
+    # (B, T, 1, P): Mosaic wants the last two block dims (8,128)-aligned or
+    # equal to the array dims — the unit axis satisfies that for any tile
+    idx4 = idx.astype(jnp.int32).reshape(B, M // P, 1, P)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(B, M // P),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, P), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index_map over t: fetched once per cloud, then
+            # VMEM-resident for all row tiles
+            pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * N * C,
+            bytes_accessed=(B * N * C + B * M * C) * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(idx4, x)
+
+
+def _permute_bwd_call(idx, g, n, interpret):
+    B, M = idx.shape
+    C = g.shape[-1]
+    P = _choose_tile(M)
+    idx4 = idx.astype(jnp.int32).reshape(B, M // P, 1, P)
+    dx = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B, M // P),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, P), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # constant index_map over t: dx[b] accumulates in VMEM across tiles
+        out_specs=pl.BlockSpec((1, n, C), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * n * C,
+            bytes_accessed=(B * n * C + B * M * C) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(idx4, g)
+    return dx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _permute_op(x, idx, n, x_dtype, interpret):
+    return _permute_fwd_call(x, idx, interpret)
+
+
+def _permute_op_fwd(x, idx, n, x_dtype, interpret):
+    return _permute_fwd_call(x, idx, interpret), idx
+
+
+def _permute_op_bwd(n, x_dtype, interpret, idx, g):
+    dx = _permute_bwd_call(idx, g, n, interpret)
+    return dx.astype(x_dtype), None
+
+
+_permute_op.defvjp(_permute_op_fwd, _permute_op_bwd)
+
+
+def permute_rows(x, idx, impl="auto", interpret=False):
+    """out[b, m] = x[b, idx[b, m]] for x (B, N, C), idx (B, M) int.
+
+    impl: 'auto' (Pallas on TPU when operands qualify, else XLA) | 'xla' |
+    'pallas' | 'pallas_interpret'.
+    """
+    if impl == "xla":
+        return _take_rows(x, idx)
+    interpret = interpret or impl == "pallas_interpret"
+    if impl == "auto":
+        from .pallas_attention import pallas_available
+        if not (pallas_available() and permute_available(x, idx)):
+            return _take_rows(x, idx)
+    elif not permute_available(x, idx):
+        return _take_rows(x, idx)
+    return _permute_op(x, idx, x.shape[1], str(x.dtype), interpret)

@@ -48,8 +48,14 @@ def build_pad_maps(valid_counts: jnp.ndarray, capacity: int, patch_size: int):
 def gather_sorted(x: jnp.ndarray, order: jnp.ndarray, src_pos: jnp.ndarray):
     """x: (B, N, ...) in original point order; order: (B, N) sorted index list;
     src_pos: (B, N) from build_pad_maps. Returns x arranged in padded
-    serialized order: out[b, p] = x[b, order[b, src_pos[b, p]]]."""
+    serialized order: out[b, p] = x[b, order[b, src_pos[b, p]]].
+
+    Row permutes ride the one-hot MXU kernel (ops/pallas_gather.py) on TPU;
+    XLA take_along_axis elsewhere / for non-float or oversized operands."""
     idx = jnp.take_along_axis(order, src_pos, axis=-1)
+    if x.ndim == 3:
+        from .pallas_gather import permute_rows
+        return permute_rows(x, idx)
     return jnp.take_along_axis(x, _expand_idx(idx, x), axis=1)
 
 
@@ -64,4 +70,7 @@ def scatter_back(attn_out: jnp.ndarray, inverse: jnp.ndarray):
     """attn_out: (B, N, ...) in padded serialized order; inverse: (B, N) rank of
     each original point. Returns per-original-point features. Ranks of valid
     points are < m so they always index a real (non-duplicate) slot."""
+    if attn_out.ndim == 3:
+        from .pallas_gather import permute_rows
+        return permute_rows(attn_out, inverse)
     return jnp.take_along_axis(attn_out, _expand_idx(inverse, attn_out), axis=1)

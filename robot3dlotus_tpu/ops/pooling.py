@@ -112,5 +112,5 @@ def unpool_gather(child_feat, cluster, child_cap):
     B, C, D = child_feat.shape
     padded = jnp.concatenate(
         [child_feat, jnp.zeros((B, 1, D), child_feat.dtype)], axis=1)
-    idx = jnp.broadcast_to(cluster[..., None], cluster.shape + (D,))
-    return jnp.take_along_axis(padded, idx, axis=1)
+    from .pallas_gather import permute_rows
+    return permute_rows(padded, cluster)

@@ -1,0 +1,75 @@
+"""One-hot MXU row-permute kernel (ops/pallas_gather.py): exactness vs the
+XLA take_along_axis path, VJP correctness with duplicated indices (the
+duplicate-pad scheme maps several output rows to one source), and the
+fallback guards."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from robot3dlotus_tpu.ops.pallas_gather import (
+    permute_rows, permute_available, _take_rows,
+)
+
+IMPL = "pallas" if jax.default_backend() == "tpu" else "pallas_interpret"
+
+
+def _setup(B=3, N=256, C=40, M=None, seed=0):
+    rng = np.random.RandomState(seed)
+    M = M or N
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = np.stack([rng.randint(0, N, M) for _ in range(B)])  # duplicates
+    return x, jnp.asarray(idx.astype(np.int32)), rng
+
+
+def test_forward_matches_xla():
+    x, idx, _ = _setup()
+    out = permute_rows(x, idx, impl=IMPL)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(_take_rows(x, idx)))
+
+
+def test_forward_m_not_equal_n():
+    x, idx, _ = _setup(N=256, M=128)
+    out = permute_rows(x, idx, impl=IMPL)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(_take_rows(x, idx)))
+
+
+def test_vjp_sums_duplicates():
+    x, idx, rng = _setup()
+    g = jnp.asarray(rng.randn(*x.shape[:1], idx.shape[1], x.shape[2])
+                    .astype(np.float32))
+
+    def loss(fn):
+        return lambda a: jnp.sum(fn(a) * g)
+
+    dx_p = jax.grad(loss(lambda a: permute_rows(a, idx, impl=IMPL)))(x)
+    dx_x = jax.grad(loss(lambda a: _take_rows(a, idx)))(x)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               atol=1e-5, rtol=1e-5)
+    # duplicated index rows accumulate > 1 cotangent
+    counts = np.zeros((x.shape[0], x.shape[1]))
+    for b in range(x.shape[0]):
+        np.add.at(counts[b], np.asarray(idx)[b], 1)
+    assert (counts > 1).any()
+
+
+def test_fallbacks():
+    x, idx, _ = _setup()
+    assert permute_available(x, idx)
+    assert not permute_available(x.astype(jnp.int32), idx)  # non-float
+    big = jnp.zeros((1, 8192, 1024), jnp.float32)           # > VMEM budget
+    assert not permute_available(big, jnp.zeros((1, 8192), jnp.int32))
+    # impl='auto' silently uses XLA for those
+    out = permute_rows(x.astype(jnp.int32), idx, impl="auto")
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(_take_rows(x.astype(jnp.int32), idx)))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU")
+def test_on_chip_exact_bf16():
+    x, idx, rng = _setup(B=4, N=512, C=96)
+    xb = x.astype(jnp.bfloat16)
+    out = jax.jit(lambda a: permute_rows(a, idx, impl="pallas"))(xb)
+    np.testing.assert_array_equal(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(_take_rows(xb, idx).astype(jnp.float32)))
