@@ -212,6 +212,10 @@ class SerializedAttention(nn.Module):
     # model.py:307-326; off in the release configs — the flash path can't
     # carry it, reference model.py:367-368 — but accepted as a config option)
     enable_rpe: bool = False
+    # 'none' | 'qkv' | 'qk': add a Linear(3 -> C) projection of the point
+    # coords into the attention inputs (reference model.py:484-495; release
+    # configs use 'none')
+    add_coords_in_attn: str = "none"
     dtype: Any = None
     # 'auto' = Pallas flash kernel on TPU when attention dropout is inactive
     # (inference / attn_drop=0), XLA einsum otherwise; 'xla' / 'pallas'
@@ -235,22 +239,36 @@ class SerializedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, feat, order, inverse, src_pos, key_valid,
-                 deterministic=True, grid_coord=None):
+                 deterministic=True, grid_coord=None, coord=None):
         B, N, C = feat.shape
         H = self.num_heads
         P = self.patch_size
         Dh = C // H
         scale = self.qk_scale or Dh ** -0.5
 
+        if self.add_coords_in_attn == "qkv":
+            assert coord is not None
+            feat = feat + dense(C, name="coords_proj", dtype=self.dtype)(
+                coord.astype(feat.dtype))
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_init,
                        name="qkv", dtype=self.dtype)(feat)
+        if self.add_coords_in_attn == "qk":
+            assert coord is not None
+            qkc = dense(C, name="coords_proj", dtype=self.dtype)(
+                coord.astype(feat.dtype))
+            qkv = qkv + jnp.concatenate(
+                [qkc, qkc, jnp.zeros_like(qkc)], axis=-1)
         o = order[self.order_index]
         inv = inverse[self.order_index]
         qkv = gather_sorted(qkv, o, src_pos)  # (B, N, 3C) serialized order
 
         NP = N // P
-        qkv = qkv.reshape(B, NP, P, 3, H, Dh)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # the 3C projection packs [q; k; v] 3-major (reference model.py:489
+        # reshape (-1, K, 3, H, C//H)), so a contiguous lane split is the
+        # same unpack without the strided middle-dim copies XLA emits for
+        # qkv[..., i, :, :]
+        q, k, v = (t.reshape(B, NP, P, H, Dh)
+                   for t in jnp.split(qkv.reshape(B, NP, P, 3 * C), 3, -1))
         if self.qk_norm:
             q = LayerNorm(Dh, eps=1e-6, name="q_norm")(q)
             k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
@@ -328,9 +346,10 @@ class CrossAttention(nn.Module):
         Dh = C // H
         scale = Dh ** -0.5
         q = dense(C, name="q", dtype=self.dtype)(feat).reshape(B, N, H, Dh)
-        kv = dense(2 * C, name="kv", dtype=self.dtype)(context).reshape(
-            B, context.shape[1], 2, H, Dh)
-        k, v = kv[:, :, 0], kv[:, :, 1]
+        kv = dense(2 * C, name="kv", dtype=self.dtype)(context)
+        # [k; v] packs 2-major (reference model_ca.py:49) — contiguous split
+        k, v = (t.reshape(B, context.shape[1], H, Dh)
+                for t in jnp.split(kv, 2, -1))
         if self.qk_norm:
             q = LayerNorm(Dh, eps=1e-6, name="q_norm")(q)
             k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
@@ -366,6 +385,7 @@ class Block(nn.Module):
     norm_adaptive: bool = False
     upcast_softmax: bool = True
     enable_rpe: bool = False
+    add_coords_in_attn: str = "none"
     dtype: Any = None
     attn_impl: str = "auto"
     conv_interpret: bool = False  # run the windowed CPE kernel interpreted
@@ -408,10 +428,11 @@ class Block(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax, name="attn",
             enable_rpe=self.enable_rpe,
+            add_coords_in_attn=self.add_coords_in_attn,
             dtype=self.dtype, attn_impl=self.attn_impl,
         )(x, pc_aux["order"], pc_aux["inverse"], pc_aux["src_pos"],
           pc_aux["key_valid"], deterministic=deterministic,
-          grid_coord=pc_aux.get("grid_coord"))
+          grid_coord=pc_aux.get("grid_coord"), coord=pc_aux.get("coord"))
         if self.drop_path > 0:
             x = drop_path(x, self.drop_path, deterministic,
                           self.make_rng("dropout"))

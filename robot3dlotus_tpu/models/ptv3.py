@@ -129,6 +129,9 @@ class PointTransformerV3TPU(nn.Module):
     # learned relative-position bias in patch attention (reference
     # model.py:307-326/888; release configs train with it off)
     enable_rpe: bool = False
+    # add Linear(3->C)-projected coords into attention inputs
+    # ('none' | 'qkv' | 'qk', reference model.py:484-495)
+    add_coords_in_attn: str = "none"
     # conditioning
     use_cross_attn: bool = False     # CA variant
     norm_adaptive: bool = False      # AdaNorm variant (pdnorm_adaptive)
@@ -183,7 +186,8 @@ class PointTransformerV3TPU(nn.Module):
             return pallas_available(), False
         return False, False
 
-    def _make_aux(self, codes, counts, cap, patch, grid_coord, mask, depth):
+    def _make_aux(self, codes, counts, cap, patch, grid_coord, mask, depth,
+                  coord=None):
         order, inverse = argsort_with_inverse(codes)
         src_pos, key_valid = build_pad_maps(counts, cap, min(patch, cap))
         windowed, _ = self._conv_windowed()
@@ -200,7 +204,7 @@ class PointTransformerV3TPU(nn.Module):
         return {
             "order": order, "inverse": inverse, "src_pos": src_pos,
             "key_valid": key_valid, "cpe_nmap": cpe_nmap, "mask": mask,
-            "grid_coord": grid_coord,
+            "grid_coord": grid_coord, "coord": coord,
         }
 
     @nn.compact
@@ -273,7 +277,7 @@ class PointTransformerV3TPU(nn.Module):
             aux = self._make_aux(
                 cur["codes"], cur["counts"], cur["cap"],
                 self.enc_patch_size[s], cur["grid_coord"], cur["mask"],
-                cur["depth"])
+                cur["depth"], coord=cur["coord"])
             cur["aux"] = aux
             if hasattr(aux["cpe_nmap"], "far_dropped"):
                 conv_far_dropped = conv_far_dropped + jnp.sum(
@@ -289,7 +293,8 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=blk_dp, order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax,
-                    enable_rpe=self.enable_rpe, dtype=dt,
+                    enable_rpe=self.enable_rpe,
+                    add_coords_in_attn=self.add_coords_in_attn, dtype=dt,
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"enc{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic, None)
@@ -337,7 +342,8 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=dp_slice[i], order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax,
-                    enable_rpe=self.enable_rpe, dtype=dt,
+                    enable_rpe=self.enable_rpe,
+                    add_coords_in_attn=self.add_coords_in_attn, dtype=dt,
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"dec{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic,

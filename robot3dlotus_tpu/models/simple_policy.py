@@ -150,7 +150,8 @@ _PTV3_FIELDS = {
     "enc_num_head", "enc_patch_size", "dec_depths", "dec_channels",
     "dec_num_head", "dec_patch_size", "mlp_ratio", "qkv_bias", "qk_scale",
     "qk_norm", "attn_drop", "proj_drop", "drop_path", "pre_norm",
-    "shuffle_orders", "upcast_softmax", "enable_rpe", "serial_depth",
+    "shuffle_orders", "upcast_softmax", "enable_rpe", "add_coords_in_attn",
+    "serial_depth",
     "stem_kernel", "compute_dtype", "attn_impl", "conv_impl", "conv_halo",
     "remat",
 }

@@ -333,7 +333,8 @@ def _windowed_op_bwd(interpret, res, g):
 
     xs = (jnp.moveaxis(nmap.idx, -1, 0), jnp.moveaxis(nmap.ok, -1, 0),
           jnp.arange(K))
-    dW, _ = jax.lax.scan(step, jnp.zeros(weight.shape, jnp.float32), xs)
+    dW, _ = jax.lax.scan(step, jnp.zeros(weight.shape, jnp.float32), xs,
+                         unroll=9)
     return dx, dW.astype(weight.dtype), _float0_zeros(wmap)
 
 

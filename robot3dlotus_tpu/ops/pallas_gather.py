@@ -177,6 +177,84 @@ def _permute_op_bwd(n, x_dtype, interpret, idx, g):
 _permute_op.defvjp(_permute_op_fwd, _permute_op_bwd)
 
 
+# --------------------------------------------------------------------------
+# small-channel gather: two-level (sqrt-N) one-hot decomposition
+# --------------------------------------------------------------------------
+#
+# The flat one-hot costs M*N*max(C,128) MXU work — fine when C >= 128, but
+# for tiny channel counts (the k=5 stem gathers (B, N*125) rows of Cin=8)
+# the lane padding wastes 16x. Decomposing idx = hi*(N/S) + lo with
+# S ~ sqrt(N) turns the gather into
+#     Y = onehot_hi (P, S) @ x.reshape(S, (N/S)*C)      (MXU, S*(N/S)*C)
+#     out = sum_lo onehot_lo (P, N/S, 1) * Y.reshape(P, N/S, C)   (VPU)
+# i.e. M*S*(N/S)*C = M*sqrt(N)*sqrt(N)*C work — for N=4096, C=8 that is
+# ~50x less MXU time than the flat kernel, and Y never leaves VMEM.
+
+_NSUB = 128  # lo-block size = the lane width, so the (P, C*128) -> (P, C,
+#              128) reshape is a native lane split and the lo-selection is a
+#              cross-lane reduction (Mosaic rejects non-lane-aligned minors)
+
+
+def _smallc_kernel(idx_ref, x_ref, o_ref, *, s, c):
+    idx = idx_ref[0, 0, 0]                                  # (P,) int32
+    xr = x_ref[0]                                           # (S, C*128)
+    hi = idx // _NSUB
+    lo = idx % _NSUB
+    P = idx.shape[0]
+    onehot_hi = (hi[:, None] ==
+                 jax.lax.broadcasted_iota(jnp.int32, (P, s), 1))
+    y = jax.lax.dot_general(                                # (P, C*128)
+        onehot_hi.astype(xr.dtype), xr,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # xr is C-major within each hi block: column j holds channel j // 128
+    # of in-block row j % 128
+    col_lo = jax.lax.broadcasted_iota(jnp.int32, (P, c * _NSUB), 1) % _NSUB
+    y = jnp.where(col_lo == lo[:, None], y, 0.0)
+    o_ref[0] = jnp.sum(y.reshape(P, c, _NSUB), axis=-1).astype(o_ref.dtype)
+
+
+def gather_rows_smallc(x, idx, interpret=False):
+    """out[b, m] = x[b, idx[b, m]] for small C via the two-level one-hot.
+
+    x: (B, N, C) float, N a multiple of a power-of-two split; idx: (B, M).
+    Caller guards availability (TPU + shapes); no custom VJP — intended for
+    gathers whose cotangent w.r.t. x is never needed (e.g. stem conv
+    activations: the batch input carries no gradient).
+    """
+    B, N, C = x.shape
+    M = idx.shape[1]
+    if N % _NSUB:
+        return _take_rows(x, idx)
+    s = N // _NSUB
+    # bigger tiles than the flat kernel: the (P, C*128) intermediate is
+    # small, and M is typically N*K (large) — fewer grid steps win
+    P = next((p for p in (1024, 512, 256, 128, 64, 32, 16, 8)
+              if M % p == 0), M)
+    idx4 = idx.astype(jnp.int32).reshape(B, M // P, 1, P)
+    # C-major within each 128-row hi block (one XLA transpose, B*N*C bytes)
+    xr = x.reshape(B, s, _NSUB, C).transpose(0, 1, 3, 2).reshape(
+        B, s, C * _NSUB)
+    return pl.pallas_call(
+        functools.partial(_smallc_kernel, s=s, c=C),
+        grid=(B, M // P),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, P), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, C * _NSUB), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * s * C * _NSUB,
+            bytes_accessed=(B * N * C + B * M * C) * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(idx4, xr)
+
+
 def permute_rows(x, idx, impl="auto", interpret=False):
     """out[b, m] = x[b, idx[b, m]] for x (B, N, C), idx (B, M) int.
 

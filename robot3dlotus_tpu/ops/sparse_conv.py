@@ -117,7 +117,26 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
     """
     if streaming is None:
         streaming = weight.shape[0] >= 27
-    if streaming:
+    if streaming and feat.shape[-1] <= 16:
+        # tiny-Cin stencils (the k=5 stem, Cin=7/8): gather ALL taps at once
+        # through the two-level one-hot kernel (ops/pallas_gather.py) and do
+        # one dense (B*N, K*Cin) x (K*Cin, Cout) matmul — the K scattered
+        # row gathers of the scan were the single slowest op of the release
+        # step. Falls back to the scan off-TPU.
+        from .pallas_attention import pallas_available
+        if pallas_available():
+            from .pallas_gather import gather_rows_smallc
+            B, N, C = feat.shape
+            K = nmap.idx.shape[-1]
+            g = gather_rows_smallc(
+                feat, nmap.idx.reshape(B, N * K)).reshape(B, N, K, C)
+            g = jnp.where(nmap.ok[..., None], g, 0.0)
+            out = jnp.einsum("bnkc,kcd->bnd", g, weight,
+                             preferred_element_type=jnp.float32)
+            streaming = False
+        else:
+            out = _subm_conv_streaming(feat, nmap, weight)
+    elif streaming:
         out = _subm_conv_streaming(feat, nmap, weight)
     else:
         gathered = _gather_neighbors(feat, nmap.idx)
@@ -155,7 +174,10 @@ def _subm_conv_streaming(feat, nmap: NeighborMap, weight):
         return acc, None
 
     acc0 = jnp.zeros((B, N, Cout), jnp.float32)
-    out, _ = jax.lax.scan(step, acc0, xs)
+    # unroll: each while-loop iteration costs ~ms of fixed overhead on the
+    # dev rig (dispatch + loop bookkeeping); batching 5 taps per iteration
+    # amortizes it without blowing up compile time at K=125
+    out, _ = jax.lax.scan(step, acc0, xs, unroll=5)
     return out
 
 

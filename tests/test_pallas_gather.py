@@ -73,3 +73,20 @@ def test_on_chip_exact_bf16():
     np.testing.assert_array_equal(
         np.asarray(out.astype(jnp.float32)),
         np.asarray(_take_rows(xb, idx).astype(jnp.float32)))
+
+
+def test_smallc_gather_matches_xla():
+    """Two-level (sqrt-N) one-hot gather for tiny channel counts (the stem
+    conv's (B, N*K) tap gather): exact vs take_along_axis, including
+    out-of-range sentinel indices (N) which must yield zeros."""
+    from robot3dlotus_tpu.ops.pallas_gather import gather_rows_smallc
+    rng = np.random.RandomState(0)
+    B, N, C, M = 2, 256, 8, 1024
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = rng.randint(0, N, (B, M))
+    idx[:, :5] = N  # sentinel: no neighbor -> gathers zeros
+    idx = jnp.asarray(idx.astype(np.int32))
+    out = gather_rows_smallc(x, idx, interpret=True)
+    ref = np.array(_take_rows(x, jnp.clip(idx, 0, N - 1)))
+    ref[np.asarray(idx) == N] = 0.0
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)

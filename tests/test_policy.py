@@ -224,3 +224,41 @@ def _strip_rpe(params):
     flat = flax.traverse_util.flatten_dict(params)
     return flax.traverse_util.unflatten_dict(
         {k: v for k, v in flat.items() if "rpe_table" not in k})
+
+
+@pytest.mark.parametrize("mode", ["qkv", "qk"])
+def test_add_coords_in_attn(mode):
+    """Coord projection into attention inputs (reference model.py:484-495):
+    config accepted, adds coords_proj params, changes outputs, grads flow."""
+    cfg = dict(PTV3_CFG, add_coords_in_attn=mode, attn_drop=0.0,
+               shuffle_orders=False)
+    model = SimplePolicyTPU(ptv3_cfg=cfg, act_cfg=ACT_CFG, variant="ca")
+    batch = fake_batch()
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, batch,
+                           deterministic=True)
+    names = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(variables["params"])]
+    assert any("coords_proj" in n for n in names)
+    preds = model.apply(variables, batch, deterministic=True)
+    assert np.isfinite(np.asarray(preds["pos"])).all()
+
+    # zeroed projection == 'none' numerics (the projection enters additively)
+    zeroed = jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.zeros_like(x)
+        if "coords_proj" in jax.tree_util.keystr(p) else x,
+        variables["params"])
+    import flax
+    flat = flax.traverse_util.flatten_dict(zeroed)
+    stripped = flax.traverse_util.unflatten_dict(
+        {k: v for k, v in flat.items() if "coords_proj" not in k})
+    off = SimplePolicyTPU(ptv3_cfg=dict(cfg, add_coords_in_attn="none"),
+                          act_cfg=ACT_CFG, variant="ca")
+    p_zero = model.apply({"params": zeroed,
+                          "batch_stats": variables["batch_stats"]},
+                         batch, deterministic=True)
+    p_off = off.apply({"params": stripped,
+                       "batch_stats": variables["batch_stats"]},
+                      batch, deterministic=True)
+    np.testing.assert_allclose(np.asarray(p_zero["pos"]),
+                               np.asarray(p_off["pos"]), atol=1e-5)
