@@ -158,6 +158,13 @@ class PointTransformerV3TPU(nn.Module):
     # sorted-order halo for the windowed conv; +-256 covers ~98% of
     # 3x3x3-stencil links on 1 cm tabletop clouds (ops/pallas_conv.py)
     conv_halo: int = 256
+    # dense occupancy-table neighbor lookup (ops/sparse_conv.py): voxel
+    # coords must fit extent^3 (the release layout — xyz_shift 'center',
+    # xyz_norm False, 1 cm voxels — spans ~100 cells; pooled stages only
+    # shrink). Out-of-extent points degrade to 'no neighbors'; configs
+    # that radius-normalize coords (xyz_norm True -> up to ~200 cells)
+    # should set 0 to use the extent-free z-order searchsorted path.
+    lookup_extent: int = 128
     # rematerialize each transformer block in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
     # activation HBM — the standard knob for scaling batch x points
@@ -198,9 +205,11 @@ class PointTransformerV3TPU(nn.Module):
             cpe_nmap = build_window_map(grid_coord, mask, 3, depth,
                                         halo=self.conv_halo,
                                         sort_order=order[0],
-                                        sort_inverse=inverse[0])
+                                        sort_inverse=inverse[0],
+                                        extent=self.lookup_extent)
         else:
-            cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth)
+            cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth,
+                                          extent=self.lookup_extent)
         return {
             "order": order, "inverse": inverse, "src_pos": src_pos,
             "key_valid": key_valid, "cpe_nmap": cpe_nmap, "mask": mask,
@@ -238,7 +247,7 @@ class PointTransformerV3TPU(nn.Module):
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
         dt = self._dtype
         stem_nmap = build_neighbor_map(grid_coord, mask, self.stem_kernel,
-                                       depth0)
+                                       depth0, extent=self.lookup_extent)
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv", dtype=dt)(feat, stem_nmap)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",

@@ -153,6 +153,7 @@ _PTV3_FIELDS = {
     "shuffle_orders", "upcast_softmax", "enable_rpe", "add_coords_in_attn",
     "serial_depth",
     "stem_kernel", "compute_dtype", "attn_impl", "conv_impl", "conv_halo",
+    "lookup_extent",
     "remat",
 }
 

@@ -84,7 +84,8 @@ def _choose_tile(n: int) -> int:
 def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
                      halo: int = 256, far_capacity: int | None = None,
                      tile: int | None = None, sort_order=None,
-                     sort_inverse=None) -> WindowMap:
+                     sort_inverse=None, extent: int | None = None
+                     ) -> WindowMap:
     """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool.
 
     sort_order/sort_inverse: optionally reuse an existing spatially-local
@@ -93,7 +94,8 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
     backbone passes its per-stage aux order (models/ptv3.py _make_aux).
     """
     B, N, _ = grid_coord.shape
-    nmap = build_neighbor_map(grid_coord, mask, kernel_size, depth)
+    nmap = build_neighbor_map(grid_coord, mask, kernel_size, depth,
+                              extent=extent)
     K = nmap.idx.shape[-1]
     P = tile if tile is not None else _choose_tile(N)
     assert N % P == 0, (N, P)

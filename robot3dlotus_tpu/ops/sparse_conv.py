@@ -39,9 +39,21 @@ def stencil_offsets(kernel_size: int) -> np.ndarray:
     return grid.reshape(-1, 3).astype(np.int32)  # (K, 3)
 
 
-def build_neighbor_map(grid_coord, mask, kernel_size: int, depth: int
-                       ) -> NeighborMap:
-    """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool."""
+def build_neighbor_map(grid_coord, mask, kernel_size: int, depth: int,
+                       extent: int | None = None) -> NeighborMap:
+    """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool.
+
+    extent: when set, neighbor discovery uses a dense (B, extent^3)
+    occupancy table (linear-address scatter + direct lookup) instead of
+    z-order searchsorted — O(N*K) gathers instead of an O(N*K log) co-sort,
+    the dominant index-build cost at the release shapes. Requires every
+    valid voxel coordinate < extent (the 1 cm workspace grid spans ~100
+    cells; out-of-extent points degrade gracefully to 'no neighbors').
+    Semantics match the searchsorted path exactly, including lowest-index
+    winner for duplicate coordinates (scatter-min vs stable sort)."""
+    if extent is not None and extent > 0:
+        return _build_neighbor_map_dense(grid_coord, mask, kernel_size,
+                                         extent)
     B, N, _ = grid_coord.shape
     offs = stencil_offsets(kernel_size)  # (K, 3) numpy — static stencil
     K = offs.shape[0]
@@ -81,6 +93,38 @@ def build_neighbor_map(grid_coord, mask, kernel_size: int, depth: int
 
     ok = found.reshape(B, N, K) & in_range & mask[:, :, None]
     idx = jnp.where(ok, nbr.reshape(B, N, K), 0)
+    return NeighborMap(idx=idx, ok=ok)
+
+
+def _build_neighbor_map_dense(grid_coord, mask, kernel_size: int,
+                              extent: int) -> NeighborMap:
+    B, N, _ = grid_coord.shape
+    offs = stencil_offsets(kernel_size)  # (K, 3) numpy — static stencil
+    K = offs.shape[0]
+    E = extent
+    cells = E * E * E
+
+    in_ext = jnp.all((grid_coord >= 0) & (grid_coord < E), axis=-1) & mask
+    lin = (grid_coord[..., 0] * (E * E) + grid_coord[..., 1] * E
+           + grid_coord[..., 2])
+    lin_own = jnp.where(in_ext, lin, cells)            # park invalid
+
+    big = jnp.int32(N)
+    table = jnp.full((B, cells + 1), big, jnp.int32)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # min: lowest original index wins for duplicate coords — matches the
+    # stable-argsort + searchsorted-left winner of the sort path
+    table = table.at[bidx, lin_own].min(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N)))
+
+    q = grid_coord[:, :, None, :] + jnp.asarray(offs)[None, None]  # (B,N,K,3)
+    q_ok = jnp.all((q >= 0) & (q < E), axis=-1)
+    lin_q = (q[..., 0] * (E * E) + q[..., 1] * E + q[..., 2])
+    lin_q = jnp.where(q_ok, lin_q, cells).reshape(B, N * K)
+    nbr = jnp.take_along_axis(table, lin_q, axis=-1).reshape(B, N, K)
+
+    ok = (nbr < big) & q_ok & mask[:, :, None]
+    idx = jnp.where(ok, nbr, 0)
     return NeighborMap(idx=idx, ok=ok)
 
 

@@ -259,3 +259,26 @@ def test_subm_conv_streaming_matches_dense():
     dense = np.asarray(subm_conv_apply(feat, nmap, w, bias, streaming=False))
     stream = np.asarray(subm_conv_apply(feat, nmap, w, bias, streaming=True))
     np.testing.assert_allclose(dense, stream, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_neighbor_map_matches_searchsorted():
+    """Dense occupancy-table neighbor lookup (sparse_conv.py extent path)
+    vs the z-order searchsorted path: identical idx/ok on in-extent coords,
+    including duplicate-coordinate lowest-index-winner semantics."""
+    import numpy as np
+    import jax.numpy as jnp
+    from robot3dlotus_tpu.ops.sparse_conv import build_neighbor_map
+
+    rng = np.random.RandomState(3)
+    B, N = 2, 192
+    gc = rng.randint(0, 20, (B, N, 3)).astype(np.int32)
+    gc[0, 5] = gc[0, 9]  # duplicate coordinate
+    mask = np.ones((B, N), bool)
+    mask[1, 170:] = False
+    gc = jnp.asarray(gc)
+    mask = jnp.asarray(mask)
+    for k in (3, 5):
+        a = build_neighbor_map(gc, mask, k, depth=6)
+        b = build_neighbor_map(gc, mask, k, depth=6, extent=32)
+        np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
+        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
