@@ -186,9 +186,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-    from __graft_entry__ import RELEASE_PTV3, RELEASE_ACT, LOSS_CFG, _fake_batch
-    from robot3dlotus_tpu.models.simple_policy import (
-        SimplePolicyTPU, compute_loss,
+    from __graft_entry__ import (
+        RELEASE_PTV3, RELEASE_ACT, LOSS_CFG, _fake_batch, _fake_mp_batch,
     )
     from robot3dlotus_tpu.train.trainer import (
         create_train_state, make_train_step,
@@ -197,14 +196,34 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "16"))
     N = int(os.environ.get("BENCH_POINTS", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "3"))
+    # 'simple' (3D-LOTUS policy, the headline metric the driver records) or
+    # 'motion' (3D-LOTUS++ motion planner — BASELINE config 3)
+    bench_model = os.environ.get("BENCH_MODEL", "simple")
 
     # training runs the backbone in bfloat16 (the TPU-first configuration;
     # fp32 master params, fp32 losses — see models/ptv3.py compute_dtype)
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    model = SimplePolicyTPU(
-        ptv3_cfg=dict(RELEASE_PTV3, compute_dtype=dtype),
-        act_cfg=RELEASE_ACT, variant="ca")
-    batch = _fake_batch(B=B, N=N, T=16, pos_bins=RELEASE_ACT["pos_bins"])
+    if bench_model == "motion":
+        from robot3dlotus_tpu.models.motion_planner import (
+            MotionPlannerTPU, compute_mp_loss as compute_loss,
+        )
+        act = dict(RELEASE_ACT, max_traj_len=5, traj_embed_size=64,
+                   pc_label_channels=16)
+        model = MotionPlannerTPU(
+            ptv3_cfg=dict(RELEASE_PTV3, compute_dtype=dtype),
+            act_cfg=act, variant="ca")
+        batch = _fake_mp_batch(B=B, N=N, pos_bins=act["pos_bins"])
+        metric_name = "train_motion_samples_per_sec_per_chip"
+    else:
+        from robot3dlotus_tpu.models.simple_policy import (
+            SimplePolicyTPU, compute_loss,
+        )
+        act = RELEASE_ACT
+        model = SimplePolicyTPU(
+            ptv3_cfg=dict(RELEASE_PTV3, compute_dtype=dtype),
+            act_cfg=act, variant="ca")
+        batch = _fake_batch(B=B, N=N, T=16, pos_bins=act["pos_bins"])
+        metric_name = "train_keystep_samples_per_sec_per_chip"
     train_cfg = dict(learning_rate=1e-4, lr_sched="cosine", warmup_steps=2000,
                      num_train_steps=150000, weight_decay=0.05, grad_norm=10,
                      optim="adamw", betas=[0.9, 0.98])
@@ -214,7 +233,7 @@ def main():
     print("bench: compiling train step...", file=sys.stderr, flush=True)
     step_fn = make_train_step(
         model,
-        lambda preds, b: compute_loss(preds, b, RELEASE_ACT, LOSS_CFG),
+        lambda preds, b: compute_loss(preds, b, act, LOSS_CFG),
         mesh=None, donate=True)
 
     # warmup / compile. NOTE: completion is forced with a host readback of
@@ -271,7 +290,7 @@ def main():
     p50_ms, p99_ms = bench_latency()
 
     rec = {
-        "metric": "train_keystep_samples_per_sec_per_chip",
+        "metric": metric_name,
         "value": round(sps_per_chip, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_per_chip / BASELINE_SAMPLES_PER_SEC, 3),

@@ -214,18 +214,99 @@ def _smallc_kernel(idx_ref, x_ref, o_ref, *, s, c):
     o_ref[0] = jnp.sum(y.reshape(P, c, _NSUB), axis=-1).astype(o_ref.dtype)
 
 
+def _smallc_bwd_kernel(idx_ref, g_ref, dx_ref, *, s, c):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dx_ref[0] = jnp.zeros(dx_ref.shape[1:], dx_ref.dtype)
+
+    idx = idx_ref[0, 0, 0]                                  # (P,) int32
+    g = g_ref[0].astype(jnp.float32)                        # (P, C)
+    hi = idx // _NSUB
+    lo = idx % _NSUB
+    P = idx.shape[0]
+    # place g[m, c] at column c*128 + lo[m]  (the transpose of the forward's
+    # lane-masked reduce): broadcast g across the 128 lanes of its channel
+    # block and mask to the lo lane
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, c * _NSUB), 1)
+    # (P, C) -> (P, C*128) with each channel replicated across its lane
+    # block (broadcast + lane-aligned collapse; jnp.repeat lowers poorly)
+    g_rep = jnp.broadcast_to(g[:, :, None], (P, c, _NSUB)).reshape(
+        P, c * _NSUB)
+    y = jnp.where(col % _NSUB == lo[:, None], g_rep, 0.0)
+    onehot_hi = (hi[:, None] ==
+                 jax.lax.broadcasted_iota(jnp.int32, (P, s), 1))
+    dx_ref[0] += jax.lax.dot_general(                       # (s, C*128)
+        onehot_hi.astype(jnp.float32), y,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _smallc_bwd_call(idx, g, n, interpret):
+    B, M = idx.shape
+    C = g.shape[-1]
+    s = n // _NSUB
+    P = next((p for p in (1024, 512, 256, 128, 64, 32, 16, 8)
+              if M % p == 0), M)
+    idx4 = idx.astype(jnp.int32).reshape(B, M // P, 1, P)
+    dxr = pl.pallas_call(
+        functools.partial(_smallc_bwd_kernel, s=s, c=C),
+        grid=(B, M // P),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, P), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, C * _NSUB), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s, C * _NSUB), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * s * C * _NSUB,
+            bytes_accessed=(B * n * C + B * M * C) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(idx4, g)
+    # C-major blocks back to row-major (B, N, C)
+    return dxr.reshape(B, s, C, _NSUB).transpose(0, 1, 3, 2).reshape(B, n, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _smallc_op(x, idx, n, x_dtype, interpret):
+    return _smallc_fwd_call(x, idx, interpret)
+
+
+def _smallc_op_fwd(x, idx, n, x_dtype, interpret):
+    return _smallc_fwd_call(x, idx, interpret), idx
+
+
+def _smallc_op_bwd(n, x_dtype, interpret, idx, g):
+    dx = _smallc_bwd_call(idx, g, n, interpret)
+    return dx.astype(x_dtype), None
+
+
+_smallc_op.defvjp(_smallc_op_fwd, _smallc_op_bwd)
+
+
 def gather_rows_smallc(x, idx, interpret=False):
     """out[b, m] = x[b, idx[b, m]] for small C via the two-level one-hot.
 
-    x: (B, N, C) float, N a multiple of a power-of-two split; idx: (B, M).
-    Caller guards availability (TPU + shapes); no custom VJP — intended for
-    gathers whose cotangent w.r.t. x is never needed (e.g. stem conv
-    activations: the batch input carries no gradient).
+    x: (B, N, C) float with N a multiple of 128; idx: (B, M), entries == N
+    (or any out-of-range value) gather zeros. Differentiable: the custom VJP
+    scatter-adds cotangents through the transposed two-level one-hot (the
+    motion planner's stem input includes trainable label embeddings, so
+    d/dx is live there, unlike the plain-policy stem).
     """
     B, N, C = x.shape
-    M = idx.shape[1]
     if N % _NSUB:
         return _take_rows(x, idx)
+    return _smallc_op(x, idx, N, str(x.dtype), interpret)
+
+
+def _smallc_fwd_call(x, idx, interpret=False):
+    B, N, C = x.shape
+    M = idx.shape[1]
     s = N // _NSUB
     # bigger tiles than the flat kernel: the (P, C*128) intermediate is
     # small, and M is typically N*K (large) — fewer grid steps win

@@ -161,8 +161,9 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
     """
     if streaming is None:
         streaming = weight.shape[0] >= 27
-    if streaming and feat.shape[-1] <= 16:
-        # tiny-Cin stencils (the k=5 stem, Cin=7/8): gather ALL taps at once
+    if streaming and feat.shape[-1] <= 32:
+        # tiny-Cin stencils (the k=5 stem: Cin=7 policy, 7+16 label channels
+        # motion planner): gather ALL taps at once
         # through the two-level one-hot kernel (ops/pallas_gather.py) and do
         # one dense (B*N, K*Cin) x (K*Cin, Cout) matmul — the K scattered
         # row gathers of the scan were the single slowest op of the release

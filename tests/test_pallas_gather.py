@@ -90,3 +90,26 @@ def test_smallc_gather_matches_xla():
     ref = np.array(_take_rows(x, jnp.clip(idx, 0, N - 1)))
     ref[np.asarray(idx) == N] = 0.0
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_smallc_gather_vjp():
+    """Two-level gather custom VJP: scatter-add of cotangents (duplicates
+    sum; sentinel indices contribute nothing) vs XLA autodiff."""
+    from robot3dlotus_tpu.ops.pallas_gather import gather_rows_smallc
+    rng = np.random.RandomState(1)
+    B, N, C, M = 2, 256, 24, 512
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = rng.randint(0, N, (B, M))
+    idx[:, :4] = idx[:, 4:8]  # duplicates
+    idx[:, 100] = N           # sentinel
+    idx = jnp.asarray(idx.astype(np.int32))
+    g = jnp.asarray(rng.randn(B, M, C).astype(np.float32))
+
+    dx_p = jax.grad(lambda a: jnp.sum(
+        gather_rows_smallc(a, idx, interpret=True) * g))(x)
+    safe = jnp.clip(idx, 0, N - 1)
+    live = (idx < N).astype(np.float32)[..., None]
+    dx_x = jax.grad(lambda a: jnp.sum(
+        _take_rows(a, safe) * g * live))(x)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               atol=1e-5, rtol=1e-5)
