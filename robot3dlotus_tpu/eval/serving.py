@@ -132,14 +132,23 @@ class HTTPActioner:
 
     def __init__(self, client):
         self.client = client
+        self._episode_instr = {}  # (taskvar, episode_id) -> instruction
 
     def predict(self, task_str=None, variation=None, step_id=None,
                 obs_state_dict=None, episode_id=None, instructions=None):
         import random
+        taskvar = f"{task_str}+{variation}"
+        # one instruction per episode, reused across its steps (the reference
+        # challenge client picks once per episode, challenges/client.py:83-96)
+        key = (taskvar, episode_id)
+        if key not in self._episode_instr:
+            self._episode_instr.clear()  # only the live episode is cached
+            self._episode_instr[key] = (
+                random.choice(instructions) if instructions else None)
         out = self.client.predict(
-            taskvar=f"{task_str}+{variation}", episode_id=episode_id,
+            taskvar=taskvar, episode_id=episode_id,
             step_id=step_id,
-            instruction=random.choice(instructions) if instructions else None,
+            instruction=self._episode_instr[key],
             obs_state_dict=obs_state_dict)
         if "error" in out:
             raise RuntimeError(f"server error: {out['error']}")

@@ -208,6 +208,12 @@ class SerializedAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     upcast_softmax: bool = True
+    # upcast q/k to float32 before qk-norm and the logit matmul (reference
+    # model.py:504-507 non-flash path; a no-op when compute_dtype is fp32)
+    upcast_attention: bool = False
+    # cosine attention with a learned per-head temperature clamped at 100
+    # (reference model.py:363,511-516; swin-v2 style)
+    scaled_cosine_attn: bool = False
     # learned relative-position bias on the patch logits (reference
     # model.py:307-326; off in the release configs — the flash path can't
     # carry it, reference model.py:367-368 — but accepted as a config option)
@@ -223,8 +229,9 @@ class SerializedAttention(nn.Module):
     attn_impl: str = "auto"
 
     def _use_pallas(self, deterministic):
-        if self.enable_rpe:
-            # like the reference flash path, the kernel has no bias input
+        if self.enable_rpe or self.scaled_cosine_attn:
+            # like the reference flash path, the kernel carries neither a
+            # bias input nor a per-head learned logit scale
             return False
         if self.attn_impl == "pallas":
             return True
@@ -248,14 +255,15 @@ class SerializedAttention(nn.Module):
 
         if self.add_coords_in_attn == "qkv":
             assert coord is not None
-            feat = feat + dense(C, name="coords_proj", dtype=self.dtype)(
-                coord.astype(feat.dtype))
+            # Linear(3, C, bias=False) in the reference (model.py:397)
+            feat = feat + dense(C, name="coords_proj", use_bias=False,
+                                dtype=self.dtype)(coord.astype(feat.dtype))
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_init,
                        name="qkv", dtype=self.dtype)(feat)
         if self.add_coords_in_attn == "qk":
             assert coord is not None
-            qkc = dense(C, name="coords_proj", dtype=self.dtype)(
-                coord.astype(feat.dtype))
+            qkc = dense(C, name="coords_proj", use_bias=False,
+                        dtype=self.dtype)(coord.astype(feat.dtype))
             qkv = qkv + jnp.concatenate(
                 [qkc, qkc, jnp.zeros_like(qkc)], axis=-1)
         o = order[self.order_index]
@@ -269,6 +277,10 @@ class SerializedAttention(nn.Module):
         # qkv[..., i, :, :]
         q, k, v = (t.reshape(B, NP, P, H, Dh)
                    for t in jnp.split(qkv.reshape(B, NP, P, 3 * C), 3, -1))
+        if self.upcast_attention:
+            # reference model.py:504-507: cast before the qk norms
+            q = q.astype(jnp.float32)
+            k = k.astype(jnp.float32)
         if self.qk_norm:
             q = LayerNorm(Dh, eps=1e-6, name="q_norm")(q)
             k = LayerNorm(Dh, eps=1e-6, name="k_norm")(k)
@@ -298,8 +310,24 @@ class SerializedAttention(nn.Module):
             out = out.reshape(B, N, C).astype(qkv.dtype)
         else:
             # (B, NP, H, P, P)
-            logits = jnp.einsum("bnphd,bnqhd->bnhpq", q * scale, k,
-                                preferred_element_type=jnp.float32)
+            if self.scaled_cosine_attn:
+                # torch layout: logit_scale (H, 1, 1) init log(10), clamped
+                # at log(100) (reference model.py:363,511-516)
+                logit_scale = self.param(
+                    "logit_scale",
+                    lambda _: jnp.full((H, 1, 1), jnp.log(10.0), jnp.float32))
+                qh = q / jnp.maximum(
+                    jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+                kh = k / jnp.maximum(
+                    jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+                logits = jnp.einsum("bnphd,bnqhd->bnhpq", qh, kh,
+                                    preferred_element_type=jnp.float32)
+                logits = logits * jnp.exp(
+                    jnp.minimum(logit_scale, jnp.log(100.0))).astype(
+                        logits.dtype)
+            else:
+                logits = jnp.einsum("bnphd,bnqhd->bnhpq", q * scale, k,
+                                    preferred_element_type=jnp.float32)
             if self.enable_rpe:
                 assert grid_coord is not None, \
                     "enable_rpe needs grid_coord in the attention aux"
@@ -384,6 +412,8 @@ class Block(nn.Module):
     pre_norm: bool = True
     norm_adaptive: bool = False
     upcast_softmax: bool = True
+    upcast_attention: bool = False
+    scaled_cosine_attn: bool = False
     enable_rpe: bool = False
     add_coords_in_attn: str = "none"
     dtype: Any = None
@@ -427,6 +457,8 @@ class Block(nn.Module):
             qk_scale=self.qk_scale, qk_norm=self.qk_norm,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax, name="attn",
+            upcast_attention=self.upcast_attention,
+            scaled_cosine_attn=self.scaled_cosine_attn,
             enable_rpe=self.enable_rpe,
             add_coords_in_attn=self.add_coords_in_attn,
             dtype=self.dtype, attn_impl=self.attn_impl,

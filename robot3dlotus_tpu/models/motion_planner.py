@@ -27,12 +27,43 @@ from ..ops import rotation as rotops
 from ..ops.pos_codec import best_pos_from_disc_logits
 from .layers import dense
 from .heads import leaky_relu02
-from .simple_policy import RobotPoseEmbedding, _PTV3_FIELDS
+from .simple_policy import RobotPoseEmbedding, ptv3_kwargs
 from .ptv3 import PointTransformerV3TPU
 
 
+class _SplitDense(nn.Module):
+    """dense(features) over concat([a, b], -1), applied FACTORED:
+    a @ kernel[:split] and b @ kernel[split:] separately (+ bias), so the
+    caller can broadcast-add the two partial products instead of
+    materializing the concatenated input. The parameter tree (kernel of
+    shape (split + b_dim, features), bias) is IDENTICAL to the dense it
+    replaces — torch_convert mappings and released checkpoints unchanged."""
+    features: int
+    split: int
+
+    @nn.compact
+    def __call__(self, a, b):
+        from .layers import trunc_init
+        in_dim = self.split + (b.shape[-1] if b is not None else 0)
+        kernel = self.param("kernel", trunc_init, (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ya = a @ kernel[:self.split]
+        yb = None if b is None else b @ kernel[self.split:]
+        return ya, yb, bias
+
+
 class TrajActionHead(nn.Module):
-    """reference motion_planner_ptv3.py:20-148."""
+    """reference motion_planner_ptv3.py:20-148.
+
+    TPU-first restructure (round-2; the reference materializes a
+    (sum_N, L, D+E) expansion through both MLPs, :89-96): the fc1 of each
+    head is linear, so fc1(concat(point, traj_embed)) splits into a
+    per-point product computed ONCE (B, N, hidden) and a per-trajectory-step
+    product (L, hidden) broadcast-added afterwards — L x fewer fc1 FLOPs on
+    the point dim and no (B, N, L, D+E) intermediate. The pooled action
+    branch commutes the same way: max/mean over points of concat(p, te) ==
+    concat(reduce(p), te). Numerically identical to the reference dataflow
+    (same params, same sums)."""
     reduce: str = "max"
     pos_pred_type: str = "heatmap_disc"
     rot_pred_type: str = "euler_disc"
@@ -53,49 +84,68 @@ class TrajActionHead(nn.Module):
                  deterministic=True):
         B, N, D = point_embeds.shape
         L = self.max_traj_len
+        E = self.traj_embed_size
 
-        x = jnp.broadcast_to(point_embeds[:, :, None, :], (B, N, L, D))
-        if self.traj_embed_size > 0:
+        te = None  # (L, E)
+        if E > 0:
             traj_table = nn.Embed(
-                L, self.traj_embed_size,
+                L, E,
                 embedding_init=nn.initializers.truncated_normal(0.02),
                 name="traj_embedding")
-            te = traj_table(jnp.arange(L))  # (L, E)
-            te = jnp.broadcast_to(te[None, None], (B, N, L, self.traj_embed_size))
-            x = jnp.concatenate([x, te], axis=-1)
+            te = traj_table(jnp.arange(L))
 
-        def mlp(out_dim, name):
-            def f(v):
-                v = dense(self.hidden_size, name=f"{name}_fc1")(v)
-                v = leaky_relu02(v)
-                v = nn.Dropout(self.dropout)(v, deterministic=deterministic)
-                return dense(out_dim, name=f"{name}_fc2")(v)
+        def mlp_pointwise(out_dim, name):
+            """fc1 factored over (points, traj steps) -> (B, N, L, out)."""
+            def f():
+                ya, yb, bias = _SplitDense(
+                    self.hidden_size, D, name=f"{name}_fc1")(
+                    point_embeds, te)
+                x = ya[:, :, None, :] + bias
+                if yb is not None:
+                    x = x + yb[None, None]
+                else:
+                    x = jnp.broadcast_to(x, (B, N, L, self.hidden_size))
+                x = leaky_relu02(x)
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+                return dense(out_dim, name=f"{name}_fc2")(x)
             return f
 
         if self.pos_pred_type == "heatmap_disc":
-            ht = mlp(3 * self.pos_bins * 2, "heatmap_mlp")(x)  # (B,N,L,3*nb)
+            ht = mlp_pointwise(3 * self.pos_bins * 2, "heatmap_mlp")()
             # 'n t (c b) -> t c n b' per cloud: ours (B, L, 3, N, nb)
             xt = ht.reshape(B, N, L, 3, 2 * self.pos_bins)
             xt = xt.transpose(0, 2, 3, 1, 4)
             xt = jnp.where(mask[:, None, None, :, None], xt, -1e9)
         else:  # heatmap_mlp
-            ht = mlp(1 + 3, "heatmap_mlp")(x)  # (B, N, L, 4)
+            ht = mlp_pointwise(1 + 3, "heatmap_mlp")()  # (B, N, L, 4)
             heat = jnp.where(mask[:, :, None], ht[..., 0] / temp, -1e9)
             w = jax.nn.softmax(heat, axis=1)  # over points
             new_coords = coords[:, :, None, :] + ht[..., 1:]
             xt = jnp.einsum("bnt,bntc->btc", w, new_coords)
 
+        # pooled branch: reduce commutes with concat, so reduce the D-dim
+        # point embeddings once and fan the traj embedding out after fc1
         if self.reduce == "max":
-            pooled = jnp.max(
-                jnp.where(mask[:, :, None, None], x, -jnp.inf), axis=1)
+            pooled_p = jnp.max(
+                jnp.where(mask[..., None], point_embeds, -jnp.inf), axis=1)
         elif self.reduce == "mean":
-            m = mask[:, :, None, None].astype(x.dtype)
-            pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, 1), 1.0)
+            m = mask[..., None].astype(point_embeds.dtype)
+            pooled_p = jnp.sum(point_embeds * m, axis=1) / \
+                jnp.maximum(jnp.sum(m, 1), 1.0)
         else:
             raise NotImplementedError(self.reduce)
         out_dim = (self.euler_bins * 3 if self.rot_pred_type == "euler_disc"
                    else self.dim_actions - 3)
-        action_embeds = mlp(out_dim + 2, "action_mlp")(pooled)  # (B, L, o+2)
+        ya, yb, bias = _SplitDense(
+            self.hidden_size, D, name="action_mlp_fc1")(pooled_p, te)
+        act_h = ya[:, None, :] + bias                      # (B, L, hidden)
+        if yb is not None:
+            act_h = act_h + yb[None]
+        else:
+            act_h = jnp.broadcast_to(act_h, (B, L, self.hidden_size))
+        act_h = leaky_relu02(act_h)
+        act_h = nn.Dropout(self.dropout)(act_h, deterministic=deterministic)
+        action_embeds = dense(out_dim + 2, name="action_mlp_fc2")(act_h)
 
         if self.rot_pred_type == "euler_disc":
             # 'n t (b c) -> n t b c', c=3
@@ -167,8 +217,7 @@ class MotionPlannerTPU(nn.Module):
                            and self.ptv3_cfg.get("pdnorm_adaptive", True)),
             grid_size=ac.get("voxel_size", 0.01),
             name="ptv3_model",
-            **{k: (tuple(v) if isinstance(v, list) else v)
-               for k, v in self.ptv3_cfg.items() if k in _PTV3_FIELDS},
+            **ptv3_kwargs(self.ptv3_cfg),
         )
         outs = backbone(
             batch["pc_fts"][..., :3], pc_fts, batch["pc_mask"],
@@ -222,7 +271,13 @@ def compute_mp_loss(preds, batch, act_cfg, loss_cfg):
         logits = preds["pos"]                    # (B, L, 3, N, nb)
         B, L, _, N, nb = logits.shape
         flat = logits.reshape(B, L, 3, N * nb)
-        target = batch["disc_pos_probs"]         # (B, L, 3, N*nb)
+        target = batch.get("disc_pos_probs")     # (B, L, 3, N*nb)
+        if target is None:
+            # device-built per-step GT probs from gt_trajs positions +
+            # robot mask (verdict item 3; see simple_policy.compute_loss)
+            from .simple_policy import build_disc_pos_targets
+            target = build_disc_pos_targets(
+                batch, tgt_pos, nb // 2, act_cfg).reshape(B, L, 3, N * nb)
         logp = jax.nn.log_softmax(flat, axis=-1)
         ce = -jnp.sum(jnp.where(target > 0, target * logp, 0.0), axis=-1)
         # per cloud: sum over (t, c) weighted by traj mask / mask count

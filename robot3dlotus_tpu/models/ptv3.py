@@ -126,6 +126,14 @@ class PointTransformerV3TPU(nn.Module):
     pre_norm: bool = True
     shuffle_orders: bool = True
     upcast_softmax: bool = True
+    upcast_attention: bool = False
+    # swin-v2-style cosine attention with learned per-head temperature
+    # (reference model.py:363,511-516)
+    scaled_cosine_attn: bool = False
+    # adaptive norms only in the decoder (+ last encoder stage); encoder
+    # stem/pooling/blocks fall back to vanilla norms
+    # (reference model.py:954,975,996)
+    pdnorm_only_decoder: bool = False
     # learned relative-position bias in patch attention (reference
     # model.py:307-326/888; release configs train with it off)
     enable_rpe: bool = False
@@ -232,6 +240,15 @@ class PointTransformerV3TPU(nn.Module):
         _, conv_interp = self._conv_windowed()
 
         grid_coord = compute_grid_coord(coord, mask, self.grid_size, depth0)
+        # dense occupancy-table telemetry: valid points whose per-cloud grid
+        # coordinate exceeds lookup_extent lose every stencil tap (including
+        # self) unless build_neighbor_map falls back to the searchsorted
+        # path; surfaced like pool_overflow so training logs show it
+        conv_out_of_extent = jnp.zeros((), jnp.int32)
+        if self.lookup_extent and self.lookup_extent > 0:
+            conv_out_of_extent = jnp.sum(
+                (jnp.max(grid_coord, axis=-1) >= self.lookup_extent) & mask
+            ).astype(jnp.int32)
         codes = serialize_codes(grid_coord, mask, depth0, self.orders)
         # the reference shuffles orders via torch.randperm in eval mode too
         # (model.py:130-134) — that randomness is what ensemble inference
@@ -244,6 +261,10 @@ class PointTransformerV3TPU(nn.Module):
                                           len(self.orders))
             codes = codes[perm]
 
+        # encoder-side adaptive-norm gate (reference model.py:954,975:
+        # pdnorm_only_decoder keeps the stem + encoder poolings vanilla)
+        enc_adaptive = self.norm_adaptive and not self.pdnorm_only_decoder
+
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
         dt = self._dtype
         stem_nmap = build_neighbor_map(grid_coord, mask, self.stem_kernel,
@@ -251,7 +272,7 @@ class PointTransformerV3TPU(nn.Module):
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv", dtype=dt)(feat, stem_nmap)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
-                         adaptive=self.norm_adaptive, name="embedding_norm",
+                         adaptive=enc_adaptive, name="embedding_norm",
                          dtype=dt)(
             x, mask=mask, context=context_vec,
             use_running_average=deterministic)
@@ -291,6 +312,10 @@ class PointTransformerV3TPU(nn.Module):
             if hasattr(aux["cpe_nmap"], "far_dropped"):
                 conv_far_dropped = conv_far_dropped + jnp.sum(
                     aux["cpe_nmap"].far_dropped)
+            # reference model.py:996: under pdnorm_only_decoder all encoder
+            # stages except the last use vanilla block norms
+            blk_adaptive = self.norm_adaptive and (
+                not self.pdnorm_only_decoder or s == num_stages - 1)
             for i in range(self.enc_depths[s]):
                 blk_dp = enc_dp[sum(self.enc_depths[:s]) + i]
                 cur["feat"] = Blk(
@@ -300,8 +325,10 @@ class PointTransformerV3TPU(nn.Module):
                     qk_scale=self.qk_scale, qk_norm=self.qk_norm,
                     attn_drop=self.attn_drop, proj_drop=self.proj_drop,
                     drop_path=blk_dp, order_index=i % len(self.orders),
-                    norm_adaptive=self.norm_adaptive,
+                    norm_adaptive=blk_adaptive,
                     upcast_softmax=self.upcast_softmax,
+                    upcast_attention=self.upcast_attention,
+                    scaled_cosine_attn=self.scaled_cosine_attn,
                     enable_rpe=self.enable_rpe,
                     add_coords_in_attn=self.add_coords_in_attn, dtype=dt,
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
@@ -323,6 +350,7 @@ class PointTransformerV3TPU(nn.Module):
         # windowed-conv exactness telemetry (0 = exact; >0 = links beyond
         # the far-capacity were dropped — surfaced like pool_overflow)
         outputs[0]["conv_far_dropped"] = conv_far_dropped
+        outputs[0]["conv_out_of_extent"] = conv_out_of_extent
 
         # decoder (reference model.py:1012-1063)
         dec_dp = _linspace(0.0, self.drop_path, sum(self.dec_depths))
@@ -351,6 +379,8 @@ class PointTransformerV3TPU(nn.Module):
                     drop_path=dp_slice[i], order_index=i % len(self.orders),
                     norm_adaptive=self.norm_adaptive,
                     upcast_softmax=self.upcast_softmax,
+                    upcast_attention=self.upcast_attention,
+                    scaled_cosine_attn=self.scaled_cosine_attn,
                     enable_rpe=self.enable_rpe,
                     add_coords_in_attn=self.add_coords_in_attn, dtype=dt,
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
@@ -393,7 +423,9 @@ class PointTransformerV3TPU(nn.Module):
             jnp.broadcast_to(o0[..., None], o0.shape + (3,)), axis=1)
 
         new_feat = SerializedPoolingTPU(
-            self.enc_channels[s], norm_adaptive=self.norm_adaptive,
+            self.enc_channels[s],
+            norm_adaptive=(self.norm_adaptive
+                           and not self.pdnorm_only_decoder),
             dtype=self._dtype, name=f"enc{s}_down",
         )(feat_sorted, maps, child_cap, maps.child_mask,
           context_vec=context_vec, deterministic=deterministic)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import rotation as rotops
-from ..ops.pos_codec import best_pos_from_disc_logits
+from ..ops.pos_codec import best_pos_from_disc_logits, disc_pos_gt_prob_jnp
 from .layers import dense, LayerNorm
 from .heads import ActionHead
 from .ptv3 import PointTransformerV3TPU
@@ -113,9 +113,7 @@ class SimplePolicyTPU(nn.Module):
                            and self.ptv3_cfg.get("pdnorm_adaptive", True)),
             grid_size=ac.get("voxel_size", 0.01),
             name="ptv3_model",
-            **{k: (tuple(v) if isinstance(v, list) else v)
-               for k, v in self.ptv3_cfg.items()
-               if k in _PTV3_FIELDS},
+            **ptv3_kwargs(self.ptv3_cfg),
         )
         outs = backbone(
             batch["pc_fts"][..., :3], pc_fts, batch["pc_mask"],
@@ -150,12 +148,68 @@ _PTV3_FIELDS = {
     "enc_num_head", "enc_patch_size", "dec_depths", "dec_channels",
     "dec_num_head", "dec_patch_size", "mlp_ratio", "qkv_bias", "qk_scale",
     "qk_norm", "attn_drop", "proj_drop", "drop_path", "pre_norm",
-    "shuffle_orders", "upcast_softmax", "enable_rpe", "add_coords_in_attn",
-    "serial_depth",
+    "shuffle_orders", "upcast_softmax", "upcast_attention",
+    "scaled_cosine_attn", "pdnorm_only_decoder", "enable_rpe",
+    "add_coords_in_attn", "serial_depth",
     "stem_kernel", "compute_dtype", "attn_impl", "conv_impl", "conv_halo",
     "lookup_extent",
     "remat",
 }
+
+# reference ptv3 kwargs that are consumed elsewhere or are no-ops under this
+# execution model (simple_policy_ptv3.yaml:111-129): pdnorm_* norm plumbing is
+# resolved by the variant's norm_adaptive rule; enable_flash is superseded by
+# attn_impl; cls_mode is never used by the policy/planner models.
+_PTV3_IGNORED = {
+    "pdnorm_bn", "pdnorm_ln", "pdnorm_decouple", "pdnorm_adaptive",
+    "pdnorm_affine", "pdnorm_conditions", "pdnorm_context_channels",
+    "enable_flash", "cls_mode",
+}
+
+
+def ptv3_kwargs(cfg):
+    """ptv3_config dict -> PointTransformerV3TPU kwargs.
+
+    Raises on unknown truthy keys instead of silently dropping them: a
+    reference-dumped training_config.yaml that enables an unimplemented
+    option must fail loudly, never load and compute a different model.
+    Unknown falsy keys (False/None/0) are tolerated — they request the
+    behavior this backbone already has."""
+    out = {}
+    for k, v in cfg.items():
+        if k == "order":  # the reference's name for the SFC order list
+            out["orders"] = tuple(v)
+        elif k in _PTV3_FIELDS:
+            out[k] = tuple(v) if isinstance(v, list) else v
+        elif k in _PTV3_IGNORED:
+            continue
+        elif v:
+            raise ValueError(
+                f"unknown ptv3_config option {k}={v!r}: not implemented by "
+                "PointTransformerV3TPU (refusing to silently ignore a "
+                "truthy model option)")
+    return out
+
+
+def build_disc_pos_targets(batch, gt_pos, pos_bins, act_cfg):
+    """(B, 3, N*2*pos_bins) GT prob tensor built inside the train step from
+    pc coords + gt position + robot mask (host-twin: disc_pos_gt_prob_np).
+    gt_pos: (B, 3) (or (B, L, 3) — vmapped over leading dims)."""
+    xyz = batch["pc_fts"][..., :3]
+    mask = batch["pc_mask"]
+    robot = batch.get("pc_robot_mask")
+    if robot is None:
+        robot = jnp.zeros_like(mask)
+    build = lambda x, m, g, r: disc_pos_gt_prob_jnp(
+        x, m, g, robot_mask=r,
+        pos_bin_size=act_cfg.get("pos_bin_size", 0.01),
+        pos_bins=pos_bins,
+        heatmap_type=act_cfg.get("pos_heatmap_type", "dist"))
+    if gt_pos.ndim == 3:  # (B, L, 3): per-trajectory-step targets
+        per_cloud = lambda x, m, gl, r: jax.vmap(
+            lambda g: build(x, m, g, r))(gl)
+        return jax.vmap(per_cloud)(xyz, mask, gt_pos, robot)
+    return jax.vmap(build)(xyz, mask, gt_pos, robot)
 
 
 def compute_loss(preds, batch, act_cfg, loss_cfg):
@@ -180,7 +234,11 @@ def compute_loss(preds, batch, act_cfg, loss_cfg):
         logits = preds["pos"]                      # (B, 3, N, nb)
         _, _, N, nb = logits.shape
         flat = logits.reshape(B, 3, N * nb)
-        target = batch["disc_pos_probs"]           # (B, 3, N*nb)
+        target = batch.get("disc_pos_probs")       # (B, 3, N*nb)
+        if target is None:
+            # loader ships only gt_pos + robot mask; rebuild the GT prob
+            # tensor on device (disc_pos_gt_prob_jnp, verdict item 3)
+            target = build_disc_pos_targets(batch, tgt_pos, nb // 2, act_cfg)
         logp = jax.nn.log_softmax(flat, axis=-1)
         pos_loss = -jnp.sum(
             jnp.where(target > 0, target * logp, 0.0), axis=-1)  # (B, 3)

@@ -351,6 +351,18 @@ def subm_conv_windowed(feat, wmap: WindowMap, weight, bias=None,
     Exact (near links on the MXU via windows, far links via the compacted
     XLA pass) provided wmap.far_dropped is all zero — callers should surface
     that counter (cf. the pooling-overflow telemetry).
+
+    Backward-pass precondition: dL/dx re-runs the forward with the
+    mirrored-transposed stencil (_mirror_weight), which equals the true
+    adjoint only when the neighbor relation is link-symmetric — i.e. every
+    valid point owns a unique in-extent voxel coordinate. Duplicate voxel
+    coords (scatter-min keeps the lowest index; the loser's reverse link is
+    missing) or points outside the occupancy-table extent make dx silently
+    drop those links' contributions, while the XLA subm_conv_apply path
+    autodiffs exactly. Model-level voxelized inputs satisfy uniqueness by
+    construction (one point per 1 cm voxel) and build_window_map's
+    out-of-extent telemetry (conv_out_of_extent in the backbone outputs)
+    covers the extent clause.
     """
     out = _windowed_op(feat, weight, wmap, interpret)
     if bias is not None:

@@ -46,14 +46,29 @@ def build_neighbor_map(grid_coord, mask, kernel_size: int, depth: int,
     extent: when set, neighbor discovery uses a dense (B, extent^3)
     occupancy table (linear-address scatter + direct lookup) instead of
     z-order searchsorted — O(N*K) gathers instead of an O(N*K log) co-sort,
-    the dominant index-build cost at the release shapes. Requires every
-    valid voxel coordinate < extent (the 1 cm workspace grid spans ~100
-    cells; out-of-extent points degrade gracefully to 'no neighbors').
-    Semantics match the searchsorted path exactly, including lowest-index
-    winner for duplicate coordinates (scatter-min vs stable sort)."""
+    the dominant index-build cost at the release shapes. The table requires
+    every valid voxel coordinate < extent (the 1 cm workspace grid spans
+    ~100 cells), but grid coords are only bounded by 2^depth and the ±180°
+    z-rotation augmentation can push a cloud's axis-aligned span past
+    extent cells — so when ANY valid coordinate is out of extent the whole
+    batch falls back (lax.cond) to the extent-free searchsorted path
+    instead of silently dropping those points' neighborhoods. Semantics of
+    both paths match exactly, including lowest-index winner for duplicate
+    coordinates (scatter-min vs stable sort)."""
     if extent is not None and extent > 0:
-        return _build_neighbor_map_dense(grid_coord, mask, kernel_size,
-                                         extent)
+        import jax
+        oob = jnp.any((jnp.max(grid_coord, axis=-1) >= extent) & mask)
+        return jax.lax.cond(
+            oob,
+            lambda: _build_neighbor_map_sorted(grid_coord, mask,
+                                               kernel_size, depth),
+            lambda: _build_neighbor_map_dense(grid_coord, mask,
+                                              kernel_size, extent))
+    return _build_neighbor_map_sorted(grid_coord, mask, kernel_size, depth)
+
+
+def _build_neighbor_map_sorted(grid_coord, mask, kernel_size: int,
+                               depth: int) -> NeighborMap:
     B, N, _ = grid_coord.shape
     offs = stencil_offsets(kernel_size)  # (K, 3) numpy — static stencil
     K = offs.shape[0]

@@ -68,7 +68,8 @@ def _norm(flax_mod, torch_mod, kind="ln", adaptive=False):
     return m
 
 
-def _block_map(flax_p, torch_p, qk_norm=True, adaptive=False):
+def _block_map(flax_p, torch_p, qk_norm=True, adaptive=False,
+               add_coords="none", enable_rpe=False, cosine=False):
     m = {}
     m.update(_conv(f"{flax_p}/cpe_conv", f"{torch_p}.cpe.0"))
     m.update(_dense(f"{flax_p}/cpe_fc", f"{torch_p}.cpe.1"))
@@ -80,6 +81,16 @@ def _block_map(flax_p, torch_p, qk_norm=True, adaptive=False):
     if qk_norm:
         m.update(_ln(f"{flax_p}/attn/q_norm", f"{torch_p}.attn.q_norm"))
         m.update(_ln(f"{flax_p}/attn/k_norm", f"{torch_p}.attn.k_norm"))
+    if add_coords in ("qk", "qkv"):
+        # Linear(3, C, bias=False), reference model.py:397
+        m.update(_dense(f"{flax_p}/attn/coords_proj",
+                        f"{torch_p}.attn.coords_proj", bias=False))
+    if enable_rpe:  # RPE table parameter, reference model.py:314
+        m[f"{torch_p}.attn.rpe.rpe_table"] = (
+            f"{flax_p}/attn/rpe_table", "copy")
+    if cosine:  # per-head temperature, reference model.py:363
+        m[f"{torch_p}.attn.logit_scale"] = (
+            f"{flax_p}/attn/logit_scale", "copy")
     m.update(_dense(f"{flax_p}/mlp/fc1", f"{torch_p}.mlp.0.fc1"))
     m.update(_dense(f"{flax_p}/mlp/fc2", f"{torch_p}.mlp.0.fc2"))
     return m
@@ -115,6 +126,12 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
     # norm_adaptive rule so converted trees always line up.
     adaptive = cls.endswith("AdaNorm") and \
         bool(ptv3.get("pdnorm_adaptive", True))
+    # pdnorm_only_decoder (reference model.py:954,975,996): encoder
+    # stem/pool/block norms are vanilla except the last encoder stage
+    only_dec = bool(ptv3.get("pdnorm_only_decoder", False))
+    add_coords = ptv3.get("add_coords_in_attn", "none")
+    enable_rpe = bool(ptv3.get("enable_rpe", False))
+    cosine = bool(ptv3.get("scaled_cosine_attn", False))
     enc_depths = list(ptv3["enc_depths"])
     dec_depths = list(ptv3["dec_depths"])
     num_stages = len(enc_depths)
@@ -141,17 +158,20 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
     m.update(_conv(f"{bp}/embedding_stem_conv", f"{bp}.embedding.stem.conv",
                    bias=False))
     m.update(_norm(f"{bp}/embedding_norm", f"{bp}.embedding.stem.norm",
-                   "bn", adaptive))
+                   "bn", adaptive and not only_dec))
     for s in range(num_stages):
         if s > 0:
             m.update(_dense(f"{bp}/enc{s}_down/proj",
                             f"{bp}.enc.enc{s}.down.proj"))
             m.update(_norm(f"{bp}/enc{s}_down/norm",
-                           f"{bp}.enc.enc{s}.down.norm.0", "bn", adaptive))
+                           f"{bp}.enc.enc{s}.down.norm.0", "bn",
+                           adaptive and not only_dec))
+        blk_adaptive = adaptive and (not only_dec or s == num_stages - 1)
         for i in range(enc_depths[s]):
             m.update(_block_map(f"{bp}/enc{s}_block{i}",
                                 f"{bp}.enc.enc{s}.block{i}", qk_norm,
-                                adaptive))
+                                blk_adaptive, add_coords, enable_rpe,
+                                cosine))
             if use_ca:
                 m.update(_ca_block_map(f"{bp}/enc{s}_cablock{i}",
                                        f"{bp}.enc.enc{s}.ca_block{i}",
@@ -166,7 +186,7 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
         for i in range(dec_depths[s]):
             m.update(_block_map(f"{bp}/dec{s}_block{i}",
                                 f"{bp}.dec.dec{s}.block{i}", qk_norm,
-                                adaptive))
+                                adaptive, add_coords, enable_rpe, cosine))
             if use_ca:
                 m.update(_ca_block_map(f"{bp}/dec{s}_cablock{i}",
                                        f"{bp}.dec.dec{s}.ca_block{i}",

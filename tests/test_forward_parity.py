@@ -176,6 +176,75 @@ def test_backbone_forward_parity_plain():
     _compare_final(final, ref_outs[-1], clouds, atol=2e-5)
 
 
+def test_backbone_forward_parity_cosine_only_decoder():
+    """Config-option coverage for the round-2 additions: scaled_cosine_attn
+    (reference model.py:363,511-516), pdnorm_only_decoder (model.py:954,
+    975,996), and upcast_attention, all at once, on the adaptive-PDNorm
+    layout driven by a per-cloud context vector."""
+    ref_model, _ = shims.import_reference_model()
+    torch.manual_seed(3)
+    ctx_dim = 24
+    ref = _ref_backbone(
+        ref_model.PointTransformerV3,
+        scaled_cosine_attn=True,
+        pdnorm_bn=True, pdnorm_ln=True, pdnorm_decouple=False,
+        pdnorm_adaptive=True, pdnorm_context_channels=ctx_dim,
+        pdnorm_only_decoder=True)
+
+    clouds, feats = _build_clouds(seed=3)
+    rng_np = np.random.RandomState(11)
+    ctx_vec = rng_np.randn(2, ctx_dim).astype(np.float32)
+
+    batch = _to_ref_batch(clouds, feats)
+    batch["context"] = torch.from_numpy(ctx_vec)
+    with torch.no_grad():
+        ref_outs = ref(batch, return_dec_layers=True)
+
+    cfg = dict(CFG, norm_adaptive=True, pdnorm_only_decoder=True,
+               scaled_cosine_attn=True, upcast_attention=True)
+    my_model = PointTransformerV3TPU(**cfg)
+    cap = 256
+    coord, feat, mask, counts = _to_tpu_batch(clouds, feats, cap)
+    rng = jax.random.PRNGKey(0)
+    model_cfg = {
+        "model_class": "SimplePolicyPTV3AdaNorm",
+        "ptv3_config": dict(CFG, pdnorm_adaptive=True,
+                            pdnorm_only_decoder=True,
+                            scaled_cosine_attn=True),
+        "action_config": {"txt_reduce": "mean"},
+    }
+    cv = jnp.asarray(ctx_vec)
+    sd = {f"ptv3_model.{k}": v for k, v in ref.state_dict().items()}
+    params_tree, bstats_tree, missing, unexpected = torch_to_flax(
+        sd, model_cfg)
+    assert not unexpected, unexpected
+    # policy-level names (txt_fc, act_proj_head, ...) are expected-missing in
+    # this backbone-only state_dict; backbone names must all resolve
+    bp_missing = [k for k in missing if k.startswith("ptv3_model.")]
+    assert not bp_missing, bp_missing
+    variables = my_model.init(
+        {"params": rng, "dropout": rng, "shuffle": rng}, coord, feat, mask,
+        counts, context_vec=cv, deterministic=True)
+    import flax
+    variables = flax.core.unfreeze(variables)
+
+    def _merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                _merge(dst[k], v)
+            else:
+                assert dst[k].shape == v.shape, \
+                    f"{k}: {dst[k].shape} vs {v.shape}"
+                dst[k] = jnp.asarray(v)
+
+    _merge(variables["params"], params_tree.get("ptv3_model", {}))
+    _merge(variables["batch_stats"], bstats_tree.get("ptv3_model", {}))
+
+    outs = my_model.apply(variables, coord, feat, mask, counts,
+                          context_vec=cv, deterministic=True)
+    _compare_final(outs[-1], ref_outs[-1], clouds, atol=3e-5)
+
+
 def test_backbone_forward_parity_ca():
     """CA variant: text cross-attention after every block
     (reference model_ca.py:155-412, masked-einsum fallback path)."""

@@ -262,3 +262,22 @@ def test_add_coords_in_attn(mode):
                       batch, deterministic=True)
     np.testing.assert_allclose(np.asarray(p_zero["pos"]),
                                np.asarray(p_off["pos"]), atol=1e-5)
+
+
+def test_ptv3_config_strictness():
+    """Unknown truthy ptv3_config keys must raise (a reference-dumped
+    training_config.yaml enabling an unimplemented option must never load
+    silently); unknown falsy keys and known-ignored keys are tolerated."""
+    import pytest
+    from robot3dlotus_tpu.models.simple_policy import ptv3_kwargs
+
+    base = {"enc_depths": [1, 1], "enable_flash": True, "cls_mode": False,
+            "pdnorm_bn": True, "some_future_flag": False,
+            "order": ["z", "hilbert"]}
+    kw = ptv3_kwargs(base)
+    assert kw["orders"] == ("z", "hilbert")
+    assert kw["enc_depths"] == (1, 1)
+    assert "enable_flash" not in kw and "pdnorm_bn" not in kw
+
+    with pytest.raises(ValueError, match="unknown ptv3_config option"):
+        ptv3_kwargs(dict(base, totally_unknown_option=True))

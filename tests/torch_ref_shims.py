@@ -167,6 +167,15 @@ def _is_spconv_module(module):
     return isinstance(module, SubMConv3d)
 
 
+def _spec(mod):
+    """Synthetic modules need a __spec__: transformers probes optional deps
+    with importlib.util.find_spec, which raises on spec-less sys.modules
+    entries."""
+    import importlib.machinery
+    mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, loader=None)
+    return mod
+
+
 def install():
     """Register the shim modules in sys.modules (idempotent)."""
     if "spconv" in sys.modules and not hasattr(
@@ -175,11 +184,11 @@ def install():
 
     addict_mod = types.ModuleType("addict")
     addict_mod.Dict = AttrDict
-    sys.modules["addict"] = addict_mod
+    sys.modules["addict"] = _spec(addict_mod)
 
     easydict_mod = types.ModuleType("easydict")
     easydict_mod.EasyDict = AttrDict
-    sys.modules["easydict"] = easydict_mod
+    sys.modules["easydict"] = _spec(easydict_mod)
 
     timm_mod = types.ModuleType("timm")
     timm_models = types.ModuleType("timm.models")
@@ -193,13 +202,13 @@ def install():
     timm_layers.trunc_normal_ = trunc_normal_
     timm_mod.models = timm_models
     timm_models.layers = timm_layers
-    sys.modules["timm"] = timm_mod
-    sys.modules["timm.models"] = timm_models
-    sys.modules["timm.models.layers"] = timm_layers
+    sys.modules["timm"] = _spec(timm_mod)
+    sys.modules["timm.models"] = _spec(timm_models)
+    sys.modules["timm.models.layers"] = _spec(timm_layers)
 
     ts_mod = types.ModuleType("torch_scatter")
     ts_mod.segment_csr = segment_csr
-    sys.modules["torch_scatter"] = ts_mod
+    sys.modules["torch_scatter"] = _spec(ts_mod)
 
     spconv_mod = types.ModuleType("spconv")
     spconv_mod._robot3dlotus_shim = True
@@ -210,9 +219,9 @@ def install():
     spconv_modules.is_spconv_module = _is_spconv_module
     spconv_pytorch.modules = spconv_modules
     spconv_mod.pytorch = spconv_pytorch
-    sys.modules["spconv"] = spconv_mod
-    sys.modules["spconv.pytorch"] = spconv_pytorch
-    sys.modules["spconv.pytorch.modules"] = spconv_modules
+    sys.modules["spconv"] = _spec(spconv_mod)
+    sys.modules["spconv.pytorch"] = _spec(spconv_pytorch)
+    sys.modules["spconv.pytorch.modules"] = _spec(spconv_modules)
 
 
 def import_reference_model():
