@@ -1,0 +1,215 @@
+"""RELEASE-SCALE action parity vs the ACTUAL reference policy (round-1
+verdict item 1 — the north-star correctness claim at the shipped shape).
+
+Builds the reference SimplePolicyPTV3CA at the RELEASED configuration
+(reference job_scripts/train_3dlotus_policy.sh:61-87 + the yaml it merges
+into: channels [64,128,256,512,768], enc/dec depths [1,1,1,1,1]/[1,1,1,1],
+patch size 128, k=5 stem, qk_norm, in_channels 7, pos_bins 15, heatmap_disc
++ euler_disc heads, CA conditioning after every block), runs it on
+~4096-point clouds, and requires final-action agreement with our policy
+under converted weights — fp32, through the dense occupancy-table conv
+engine (the release lookup_extent path) and the on-device decode.
+
+Kernel-level equivalence tests (test_pallas_conv/test_pallas_gather/
+test_pallas_attention) prove pallas == XLA per op; this test proves the
+composed XLA program == reference at the release shape, so together they
+cover the shipped TPU program.
+"""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/tests")
+import torch_ref_shims as shims
+from test_forward_parity import surface_cloud
+
+from robot3dlotus_tpu.models.simple_policy import (
+    SimplePolicyTPU, decode_actions,
+)
+from robot3dlotus_tpu.train.torch_convert import torch_to_flax
+
+CTX = 256
+TXT_FT = 512
+
+# the released model configuration (train_3dlotus_policy.sh:61-87 over
+# simple_policy_ptv3.yaml:82-105); voxel_size 1.0 because the test clouds
+# use integer voxel coordinates directly (grid codes are identical)
+RELEASE_PTV3 = dict(
+    in_channels=7,
+    orders=("z", "z-trans", "hilbert", "hilbert-trans"),
+    stride=(2, 2, 2, 2),
+    enc_depths=(1, 1, 1, 1, 1),
+    enc_channels=(64, 128, 256, 512, 768),
+    enc_num_head=(2, 4, 8, 16, 32),
+    enc_patch_size=(128, 128, 128, 128, 128),
+    dec_depths=(1, 1, 1, 1),
+    dec_channels=(128, 128, 256, 512),
+    dec_num_head=(4, 4, 8, 16),
+    dec_patch_size=(128, 128, 128, 128),
+    mlp_ratio=4.0, qkv_bias=True, qk_norm=True,
+    attn_drop=0.1, proj_drop=0.1, drop_path=0.0,  # inactive at eval
+    shuffle_orders=False, serial_depth=10, stem_kernel=5,
+    lookup_extent=128,  # release dense-table engine; coords here span < 70
+)
+RELEASE_ACT = dict(
+    voxel_size=1.0,
+    context_channels=CTX, txt_ft_size=TXT_FT,
+    txt_reduce="mean", use_ee_pose=False, use_step_id=False, max_steps=30,
+    reduce="max", dim_actions=7,
+    pos_pred_type="heatmap_disc", pos_heatmap_temp=0.1,
+    rot_pred_type="euler_disc", dropout=0.2,
+    pos_bins=15, pos_bin_size=0.01, best_disc_pos="max",
+    euler_resolution=5,
+)
+
+
+def _ref_config():
+    A = shims.AttrDict
+    return A(
+        ptv3_config=A(
+            in_channels=7,
+            order=list(RELEASE_PTV3["orders"]),
+            stride=list(RELEASE_PTV3["stride"]),
+            enc_depths=list(RELEASE_PTV3["enc_depths"]),
+            enc_channels=list(RELEASE_PTV3["enc_channels"]),
+            enc_num_head=list(RELEASE_PTV3["enc_num_head"]),
+            enc_patch_size=list(RELEASE_PTV3["enc_patch_size"]),
+            dec_depths=list(RELEASE_PTV3["dec_depths"]),
+            dec_channels=list(RELEASE_PTV3["dec_channels"]),
+            dec_num_head=list(RELEASE_PTV3["dec_num_head"]),
+            dec_patch_size=list(RELEASE_PTV3["dec_patch_size"]),
+            mlp_ratio=4.0, qkv_bias=True, qk_scale=None, qk_norm=True,
+            attn_drop=0.1, proj_drop=0.1, drop_path=0.0,
+            pre_norm=True, shuffle_orders=False,
+            enable_rpe=False, enable_flash=False,
+            upcast_attention=True, upcast_softmax=True,
+            cls_mode=False, scaled_cosine_attn=False,
+            pdnorm_bn=False, pdnorm_ln=False, pdnorm_decouple=True,
+            pdnorm_adaptive=False, pdnorm_affine=True,
+            pdnorm_conditions=None, pdnorm_only_decoder=False,
+            ctx_channels=CTX, add_coords_in_attn="none",
+        ),
+        action_config=A(
+            txt_ft_size=TXT_FT, context_channels=CTX, txt_reduce="mean",
+            use_ee_pose=False, use_step_id=False, max_steps=30,
+            reduce="max", dim_actions=7,
+            pos_pred_type="heatmap_disc", pos_heatmap_temp=0.1,
+            rot_pred_type="euler_disc", dropout=0.2,
+            voxel_size=1.0, pos_bins=15, pos_bin_size=0.01,
+            best_disc_pos="max", euler_resolution=5,
+        ),
+    )
+
+
+@pytest.mark.slow
+def test_release_scale_action_parity_ca():
+    shims.install()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from genrobo3d.models import simple_policy_ptv3 as ref_sp
+
+    torch.manual_seed(7)
+    ref = ref_sp.SimplePolicyPTV3CA(_ref_config())
+    ref.eval()
+
+    # ~4096-point release-scale clouds (64x64 height-field surfaces)
+    rng_np = np.random.RandomState(17)
+    clouds = [surface_cloud(rng_np, 64, 64, height_scale=10),
+              surface_cloud(rng_np, 63, 61, height_scale=12)]
+    for g in clouds:
+        assert 3500 < len(g) <= 4096, len(g)
+    feats = [rng_np.randn(len(g), 7).astype(np.float32) for g in clouds]
+    for g, f in zip(clouds, feats):
+        f[:, :3] = g  # coords are pc_fts[:, :3] on both sides
+    ctx_lens = [11, 20]  # instruction token counts (instr_embed_type 'all')
+    ctxs = [rng_np.randn(t, TXT_FT).astype(np.float32) for t in ctx_lens]
+
+    ref_batch = {
+        "pc_fts": torch.from_numpy(np.concatenate(feats)),
+        "offset": torch.tensor(np.cumsum([len(g) for g in clouds])),
+        "npoints_in_batch": [len(g) for g in clouds],
+        "txt_embeds": torch.from_numpy(np.concatenate(ctxs)),
+        "txt_lens": ctx_lens,
+    }
+    with torch.no_grad():
+        ref_actions = ref(ref_batch, compute_loss=False,
+                          compute_final_action=True).numpy()
+
+    # ours: converted weights, padded batch, dense-table conv engine,
+    # on-device decode
+    cap = 4096
+    B = len(clouds)
+    pc = np.zeros((B, cap, 7), np.float32)
+    mask = np.zeros((B, cap), bool)
+    counts = np.zeros(B, np.int32)
+    for i, f in enumerate(feats):
+        pc[i, :len(f)] = f
+        mask[i, :len(f)] = True
+        counts[i] = len(f)
+    T = max(ctx_lens)
+    txt = np.zeros((B, T, TXT_FT), np.float32)
+    tmask = np.zeros((B, T), bool)
+    for i, c in enumerate(ctxs):
+        txt[i, :len(c)] = c
+        tmask[i, :len(c)] = True
+    my_batch = {
+        "pc_fts": jnp.asarray(pc), "pc_mask": jnp.asarray(mask),
+        "pc_counts": jnp.asarray(counts),
+        "txt_embeds": jnp.asarray(txt), "txt_mask": jnp.asarray(tmask),
+        "ee_poses": jnp.zeros((B, 8), jnp.float32),
+        "step_ids": jnp.zeros((B,), jnp.int32),
+    }
+    model = SimplePolicyTPU(ptv3_cfg=RELEASE_PTV3, act_cfg=RELEASE_ACT,
+                            variant="ca")
+    model_cfg = {
+        "model_class": "SimplePolicyPTV3CA",
+        "ptv3_config": dict(RELEASE_PTV3),
+        "action_config": dict(RELEASE_ACT),
+    }
+    params_tree, bstats_tree, missing, unexpected = torch_to_flax(
+        dict(ref.state_dict()), model_cfg)
+    assert not unexpected, unexpected
+    assert not missing, missing
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key, "shuffle": key},
+                           my_batch, deterministic=True)
+    import flax
+    variables = flax.core.unfreeze(variables)
+
+    def _merge(dst, src, path=""):
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k} in target tree"
+            if isinstance(v, dict):
+                _merge(dst[k], v, f"{path}/{k}")
+            else:
+                assert dst[k].shape == v.shape, \
+                    f"{path}/{k}: {dst[k].shape} vs {v.shape}"
+                dst[k] = jnp.asarray(v)
+
+    _merge(variables["params"], params_tree)
+    if bstats_tree:
+        _merge(variables["batch_stats"], bstats_tree)
+
+    preds = model.apply(variables, my_batch, deterministic=True)
+    my_actions = np.asarray(decode_actions(preds, RELEASE_ACT))
+
+    # the release engines must have been exact: no conv links dropped, no
+    # out-of-extent points, no pooled-segment overflow
+    out0 = preds["dec_layers"][0]
+    assert int(out0["conv_out_of_extent"]) == 0
+    assert int(out0["conv_far_dropped"]) == 0
+    assert int(preds["pool_overflow"]) == 0
+
+    np.testing.assert_allclose(my_actions[:, :3], ref_actions[:, :3],
+                               atol=1e-4, rtol=1e-4, err_msg="position")
+    qa, qb = my_actions[:, 3:7], ref_actions[:, 3:7]
+    diff = np.minimum(np.abs(qa - qb).max(-1), np.abs(qa + qb).max(-1))
+    assert float(diff.max()) < 1e-5, f"quaternion mismatch: {diff.max()}"
+    np.testing.assert_allclose(my_actions[:, 7], ref_actions[:, 7],
+                               atol=1e-3, err_msg="open logit")
