@@ -16,6 +16,19 @@ MODEL_IDS = {
 }
 
 
+def select_best_masks(scores, masks):
+    """Best-of-3 mask selection (reference sam_segmentor.py:76-83): per box,
+    keep the mask whose IoU score is highest.
+
+    scores: (n, 3) float; masks: (n, 3, H, W).
+    Returns (scores (n, 1), masks (n, 1, H, W))."""
+    scores = np.asarray(scores)
+    masks = np.asarray(masks)
+    best = np.argmax(scores, axis=1)
+    rows = np.arange(scores.shape[0])
+    return scores[rows, best][:, None], masks[rows, best][:, None]
+
+
 class SAMSegmentor:
     def __init__(self, model_id="huge", device="cpu"):
         self.model_name = os.environ.get(
@@ -63,13 +76,10 @@ class SAMSegmentor:
             masks = self._processor.image_processor.post_process_masks(
                 out.pred_masks.cpu(), i_inputs["original_sizes"].cpu(),
                 i_inputs["reshaped_input_sizes"].cpu())[0]
-            scores = out.iou_scores.cpu()[0]  # (n, 3)
+            scores = out.iou_scores.cpu()[0].numpy()  # (n, 3)
+            masks = masks.numpy()
             if keep_best_mask:
-                best = scores.argmax(dim=1)
-                scores = scores.gather(1, best[:, None])
-                h, w = masks.shape[2:]
-                idx = best[:, None, None, None].expand(-1, -1, h, w)
-                masks = masks.gather(1, idx)
-            results.append({"scores": scores.numpy(),
-                            "masks": masks.numpy().astype(bool)})
+                scores, masks = select_best_masks(scores, masks)
+            results.append({"scores": scores,
+                            "masks": masks.astype(bool)})
         return results
