@@ -89,6 +89,11 @@ def _run_validation(val_fn, state, make_val_loader, spec, mesh):
 
 
 def run_training(config, spec: TaskSpec):
+    # multi-host init first (before any other jax call): discovers
+    # SLURM / WORLD_SIZE+RANK launch envs and joins the process group
+    # (reference train_simple_policy.py:58 -> distributed.py:25-81)
+    multihost = dist.init_distributed()
+
     output_dir = config.output_dir or f"experiments/{spec.name}"
     os.makedirs(output_dir, exist_ok=True)
     logger = build_logger(output_dir) if dist.is_default_process() \
@@ -98,7 +103,8 @@ def run_training(config, spec: TaskSpec):
 
     devices = jax.devices()
     mesh = make_mesh(devices) if len(devices) > 1 else None
-    logger.info(f"devices={len(devices)} mesh={'dp' if mesh else 'single'}")
+    logger.info(f"devices={len(devices)} mesh={'dp' if mesh else 'single'}"
+                + (f" processes={jax.process_count()}" if multihost else ""))
 
     seed = int(config.get("SEED", 2024)) + jax.process_index()
     np.random.seed(seed)
@@ -118,6 +124,11 @@ def run_training(config, spec: TaskSpec):
 
     model = build_model(config.MODEL)
     act_cfg = dict(config.MODEL.action_config)
+    # disc-position GT probs are built on device inside the train step; the
+    # heatmap shaping knob lives in the dataset config in the reference
+    # (TRAIN_DATASET.pos_heatmap_type) so mirror it into the loss config
+    act_cfg.setdefault("pos_heatmap_type",
+                       tds_cfg.get("pos_heatmap_type", "dist"))
     loss_cfg = dict(config.MODEL.loss_config)
     loss_fn = lambda preds, b: spec.loss_fn(preds, b, act_cfg, loss_cfg)
 
