@@ -20,6 +20,7 @@ defaultdict), so eval actions never leave the device.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -56,6 +57,60 @@ def disc_pos_gt_prob_np(
             prob[c, np.argmin(flat_dists[c])] = 1.0
     prob = prob / prob.sum(-1, keepdims=True)
     return prob.astype(np.float32)
+
+
+# ----------------------------- device (train) --------------------------------
+
+def disc_pos_gt_prob_jnp(
+    xyz, valid_mask, gt_pos, robot_mask=None, pos_bin_size=0.01, pos_bins=50,
+    heatmap_type="dist", support_radius=0.01,
+):
+    """Device twin of disc_pos_gt_prob_np for ONE padded cloud.
+
+    Building the (3, N*2*pos_bins) GT prob tensor on the host costs ~1.5 MB
+    of H2D payload and the dominant per-sample numpy time in the loader
+    (round-1 verdict item 3); the loader now ships only gt_pos (3 floats,
+    already inside gt_actions) + a robot-point mask, and this op
+    reconstructs the probs inside the jitted train step. Matches
+    disc_pos_gt_prob_np bit-for-bit on valid rows (golden-tested); padded
+    rows contribute zero probability.
+
+    xyz: (N, 3) float; valid_mask: (N,) bool; gt_pos: (3,);
+    robot_mask: (N,) bool (True = zeroed, reference
+    action_position_utils.py:30-31) or None.
+    Returns (3, N * 2 * pos_bins) float32 rows summing to 1.
+    """
+    N = xyz.shape[0]
+    nb = 2 * pos_bins
+    shift = (jnp.arange(nb, dtype=jnp.float32) - pos_bins) * pos_bin_size
+    # cands[n, c, b]
+    cands = xyz[:, :, None].astype(jnp.float32) + shift[None, None, :]
+    dists = jnp.abs(jnp.asarray(gt_pos, jnp.float32)[None, :, None] - cands)
+
+    if heatmap_type == "plain":
+        prob = (dists < support_radius).astype(jnp.float32)
+    else:  # 'dist'
+        prob = 1.0 / jnp.maximum(dists, 1e-4)
+        prob = jnp.where(dists > support_radius, 0.0, prob)
+
+    keep = valid_mask
+    if robot_mask is not None:
+        keep = keep & ~robot_mask
+    prob = jnp.where(keep[:, None, None], prob, 0.0)
+
+    # (n, c, b) -> (c, n*b)
+    prob = jnp.transpose(prob, (1, 0, 2)).reshape(3, N * nb)
+    flat_dists = jnp.transpose(dists, (1, 0, 2)).reshape(3, N * nb)
+    # zero-support fallback: nearest VALID candidate gets prob 1 (reference
+    # :40-43; robot-zeroed rows still count as candidates there — only
+    # padding is excluded)
+    cand_valid = jnp.repeat(valid_mask, nb)[None, :]
+    flat_dists = jnp.where(cand_valid, flat_dists, jnp.inf)
+    fallback = jax.nn.one_hot(jnp.argmin(flat_dists, axis=-1), N * nb,
+                              dtype=jnp.float32)
+    total = jnp.sum(prob, axis=-1, keepdims=True)
+    prob = jnp.where(total > 0, prob, fallback)
+    return prob / jnp.sum(prob, axis=-1, keepdims=True)
 
 
 # ----------------------------- device (eval) ---------------------------------

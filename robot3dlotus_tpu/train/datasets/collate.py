@@ -53,6 +53,8 @@ def collate_keystep_samples(
     radius = np.zeros(B, np.float32)
     has_probs = "disc_pos_probs" in samples[0]
     probs = np.zeros((B, 3, N * 2 * pos_bins), np.float32) if has_probs else None
+    has_rm = "robot_point_mask" in samples[0]
+    robot_mask = np.zeros((B, N), bool) if has_rm else None
 
     for i, s in enumerate(samples):
         n = min(s["pc_fts"].shape[0], N)
@@ -73,6 +75,8 @@ def collate_keystep_samples(
             nb = 2 * pos_bins
             src = s["disc_pos_probs"].reshape(3, -1, nb)[:, :n]
             probs[i].reshape(3, N, nb)[:, :n] = src
+        if has_rm:
+            robot_mask[i, :n] = s["robot_point_mask"][:n]
 
     out = {
         "pc_fts": pc, "pc_mask": mask, "pc_counts": counts,
@@ -82,4 +86,6 @@ def collate_keystep_samples(
     }
     if has_probs:
         out["disc_pos_probs"] = probs.reshape(B, 3, N * 2 * pos_bins)
+    if has_rm:
+        out["pc_robot_mask"] = robot_mask
     return out

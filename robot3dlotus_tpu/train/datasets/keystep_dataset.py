@@ -26,7 +26,6 @@ from scipy.special import softmax
 from ...configs.rlbench.constants import get_robot_workspace
 from ...utils.assets import resolve_asset
 from ...utils.robot_box import RobotBox
-from ...ops.pos_codec import disc_pos_gt_prob_np
 from ...ops import rotation as rotops
 
 
@@ -278,11 +277,15 @@ class KeystepDataset:
                 "pc_radius": np.float32(radius),
             }
             if self.pos_type == "disc":
-                sample["disc_pos_probs"] = disc_pos_gt_prob_np(
-                    xyz.astype(np.float32), gt_out[:3],
-                    pos_bin_size=self.pos_bin_size, pos_bins=self.pos_bins,
-                    heatmap_type=self.pos_heatmap_type,
-                    robot_point_idxs=robot_point_idxs)
+                # ship the robot-point mask only; the (3, n*2*pos_bins) GT
+                # prob tensor (~1.5 MB/sample, the dominant host cost +
+                # H2D payload) is built inside the jitted train step from
+                # gt_actions[:3] + this mask (ops/pos_codec.py
+                # disc_pos_gt_prob_jnp; round-1 verdict item 3)
+                rm = np.zeros(len(xyz), bool)
+                if robot_point_idxs is not None and len(robot_point_idxs):
+                    rm[np.asarray(robot_point_idxs)] = True
+                sample["robot_point_mask"] = rm
             samples.append(sample)
         return samples
 

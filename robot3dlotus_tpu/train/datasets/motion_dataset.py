@@ -27,7 +27,6 @@ from scipy.spatial.transform import Rotation as R
 from ...configs.rlbench.constants import get_robot_workspace
 from ...utils.assets import resolve_asset
 from ...utils.robot_box import RobotBox
-from ...ops.pos_codec import disc_pos_gt_prob_np
 from .keystep_dataset import (
     KeystepDataset, quaternion_to_discrete_euler_np, quaternion_to_euler_np,
     quaternion_to_ortho6d_np, random_rotate_z_np,
@@ -239,14 +238,13 @@ class MotionPlannerDataset(KeystepDataset):
                 "pc_radius": np.float32(radius),
             }
             if self.pos_type == "disc":
-                probs = [disc_pos_gt_prob_np(
-                    xyz.astype(np.float32), a[:3],
-                    pos_bin_size=self.pos_bin_size, pos_bins=self.pos_bins,
-                    heatmap_type=self.pos_heatmap_type,
-                    robot_point_idxs=(robot_point_idxs
-                                      if self.pos_heatmap_no_robot else None))
-                    for a in gt_out]
-                sample["disc_pos_probs"] = np.stack(probs, 0)  # (L_t, 3, n*nb)
+                # robot mask only; per-trajectory-step GT probs are built on
+                # device inside the train step (disc_pos_gt_prob_jnp) —
+                # the host used to spend L_t prob tensors per sample here
+                rm = np.zeros(len(xyz), bool)
+                if self.pos_heatmap_no_robot and len(robot_point_idxs):
+                    rm[robot_point_idxs] = True
+                sample["robot_point_mask"] = rm
             samples.append(sample)
         return samples
 
@@ -291,6 +289,8 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
     has_probs = "disc_pos_probs" in samples[0]
     probs = (np.zeros((B, L, 3, N * 2 * pos_bins), np.float32)
              if has_probs else None)
+    has_rm = "robot_point_mask" in samples[0]
+    robot_mask = np.zeros((B, N), bool) if has_rm else None
 
     for i, s in enumerate(samples):
         n = min(s["pc_fts"].shape[0], N)
@@ -316,6 +316,8 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
             dst = probs[i].reshape(L, 3, N, nb)
             dst[:L_t, :, :n] = src
             dst[L_t:] = dst[L_t - 1]
+        if has_rm:
+            robot_mask[i, :n] = s["robot_point_mask"][:n]
 
     out = {
         "pc_fts": pc, "pc_labels": labels, "pc_mask": mask,
@@ -327,4 +329,6 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
     }
     if has_probs:
         out["disc_pos_probs"] = probs.reshape(B, L, 3, N * 2 * pos_bins)
+    if has_rm:
+        out["pc_robot_mask"] = robot_mask
     return out

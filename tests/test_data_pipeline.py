@@ -29,17 +29,29 @@ def test_keystep_dataset_and_collate():
     assert s["pc_fts"].shape[0] <= 1024
     assert s["gt_actions"].shape == (7,)  # pos3 + disc euler3 + open
     assert 0 <= s["gt_actions"][3:6].min() and s["gt_actions"][3:6].max() < 72
-    probs = s["disc_pos_probs"]
-    assert probs.shape == (3, s["pc_fts"].shape[0] * 20)
-    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    # the loader ships the robot-point mask; disc-position GT probs are
+    # built on device inside the train step (verdict item 3)
+    rm = s["robot_point_mask"]
+    assert rm.shape == (s["pc_fts"].shape[0],) and rm.dtype == bool
 
     batch = collate_keystep_samples(samples, num_points=1024, pos_bins=10,
                                     num_clouds=4)
     assert batch["pc_fts"].shape == (4, 1024, 7)
-    assert batch["disc_pos_probs"].shape == (4, 3, 1024 * 20)
-    # padded candidates carry no target mass
-    nb = 20
-    pp = batch["disc_pos_probs"].reshape(4, 3, 1024, nb)
+    assert batch["pc_robot_mask"].shape == (4, 1024)
+    # no robot flag on padded slots
+    for i in range(4):
+        n = batch["pc_counts"][i]
+        assert not batch["pc_robot_mask"][i, n:].any()
+
+    # device-built targets normalize and put no mass on padding
+    from robot3dlotus_tpu.models.simple_policy import build_disc_pos_targets
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    tgt = np.asarray(build_disc_pos_targets(
+        jb, jb["gt_actions"][:, :3], 10,
+        {"pos_bin_size": 0.01, "pos_heatmap_type": "dist"}))
+    assert tgt.shape == (4, 3, 1024 * 20)
+    np.testing.assert_allclose(tgt.sum(-1), 1.0, atol=1e-5)
+    pp = tgt.reshape(4, 3, 1024, 20)
     for i in range(4):
         n = batch["pc_counts"][i]
         assert pp[i, :, n:].sum() == 0
@@ -75,7 +87,8 @@ def test_motion_dataset_and_model():
     batch_np = collate_motion_samples(
         samples, num_points=256, max_traj_len=3, pos_bins=5, num_clouds=2)
     assert batch_np["gt_trajs"].shape == (2, 3, 7)
-    assert batch_np["disc_pos_probs"].shape == (2, 3, 3, 256 * 10)
+    # per-step disc targets are device-built from gt_trajs + this mask
+    assert batch_np["pc_robot_mask"].shape == (2, 256)
 
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()
              if isinstance(v, np.ndarray)}
