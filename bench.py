@@ -25,12 +25,18 @@ BASELINE_SAMPLES_PER_SEC = 150000 * 8 / (14 * 3600)  # 23.81 (1x A100)
 
 
 def bench_latency(num_calls=None, warmup=5):
-    """Single-obs end-to-end action latency on the release model:
-    raw multi-camera cloud -> workspace crop -> 1 cm voxelize -> robot-box
-    removal -> sample/normalize (host numpy, eval_simple_policy.py:151-251
-    semantics) -> one jitted forward+decode call -> action readback to host
-    (the robot needs the action on the host, so the device->host fetch is
-    part of the metric). Returns (p50_ms, p99_ms)."""
+    """Single-obs end-to-end action latency on the release model, with a
+    per-phase decomposition so each round can prove which term moved:
+
+      preprocess_ms  host work (crop/voxelize/robot-rm/sample/normalize on
+                     the default path; camera-buffer stacking only when
+                     BENCH_DEVICE_PREPROCESS=1 routes the whole chain into
+                     the fused on-device program, ops/eval_preprocess.py)
+      device_ms      jitted call + action readback (the robot needs the
+                     action on the host, so the device->host fetch is part
+                     of the metric)
+
+    Returns (p50_ms, p99_ms, {phase percentiles...})."""
     if num_calls is None:
         num_calls = int(os.environ.get("BENCH_LAT_CALLS", "50"))
     import jax
@@ -45,6 +51,7 @@ def bench_latency(num_calls=None, warmup=5):
     from robot3dlotus_tpu.ops.voxel import voxelize_pcd_np, workspace_mask_np
     from robot3dlotus_tpu.utils.robot_box import RobotBox
 
+    device_pre = os.environ.get("BENCH_DEVICE_PREPROCESS", "0") == "1"
     N = int(os.environ.get("BENCH_POINTS", "4096"))
     T = 16
     model = SimplePolicyTPU(
@@ -73,19 +80,51 @@ def bench_latency(num_calls=None, warmup=5):
     rng = np.random.RandomState(0)
     txt = rng.randn(1, T, 512).astype(np.float32)
 
+    fused = None
+    if device_pre:
+        from robot3dlotus_tpu.ops.eval_preprocess import (
+            make_obs_to_action, obb_params_np,
+        )
+        fused = make_obs_to_action(
+            model, None, RELEASE_ACT,
+            dict(rm_table=True, rm_robot="box_keep_gripper",
+                 xyz_shift="center", xyz_norm=False, use_height=True),
+            ws, N, vox_capacity=8192)
+
     def one_call(step):
         t = step % len(ep["xyz"])
+        t0 = time.perf_counter()
         xyz = np.tile(np.asarray(ep["xyz"][t], np.float32), (4, 1))
         xyz = xyz + rng.randn(*xyz.shape).astype(np.float32) * 0.002
         rgb = np.tile(np.asarray(ep["rgb"][t], np.float32), (4, 1))
-        keep = workspace_mask_np(xyz, ws, rm_table=True)
-        xyz, rgb = xyz[keep], rgb[keep]
-        xyz, first = voxelize_pcd_np(xyz, 0.01)
-        rgb = rgb[first]
         box = RobotBox(
             ({k: np.asarray(v[t]) for k, v in ep["bbox_info"].items()},
              {k: np.asarray(v[t]) for k, v in ep["pose_info"].items()}),
             keep_gripper=True)
+        if device_pre:
+            cap = 1 << (len(xyz) - 1).bit_length()
+            raw_xyz = np.zeros((cap, 3), np.float32)
+            raw_rgb = np.zeros((cap, 3), np.float32)
+            raw_xyz[:len(xyz)] = xyz
+            raw_rgb[:len(rgb)] = rgb
+            valid = np.zeros(cap, bool)
+            valid[:len(xyz)] = True
+            obb = obb_params_np(box)
+            t1 = time.perf_counter()
+            action = np.asarray(fused(
+                variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
+                jnp.asarray(valid), jnp.asarray(obb["obb_rot"]),
+                jnp.asarray(obb["obb_off"]), jnp.asarray(obb["obb_half"]),
+                jnp.asarray(txt[0]), jnp.ones(T, bool),
+                jnp.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], jnp.float32),
+                np.int32(t), jax.random.fold_in(
+                    jax.random.PRNGKey(1), step)))
+            t2 = time.perf_counter()
+            return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3
+        keep = workspace_mask_np(xyz, ws, rm_table=True)
+        xyz, rgb = xyz[keep], rgb[keep]
+        xyz, first = voxelize_pcd_np(xyz, 0.01)
+        rgb = rgb[first]
         m = ~box.point_mask(xyz)
         xyz, rgb = xyz[m], rgb[m]
         if len(xyz) > N:
@@ -110,23 +149,34 @@ def bench_latency(num_calls=None, warmup=5):
                 [[0.3, 0, 1.0, 0, 0, 0, 1, 1]], jnp.float32),
             "step_ids": jnp.zeros((1,), jnp.int32),
         }
+        t1 = time.perf_counter()
         action = np.asarray(run(variables, batch))
-        return action
+        t2 = time.perf_counter()
+        return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3
 
     for i in range(warmup):
         one_call(i)
-    times = []
+    times, pre_ms, dev_ms = [], [], []
     for i in range(num_calls):
         t0 = time.perf_counter()
-        one_call(i)
+        _, pre, dev = one_call(i)
         times.append((time.perf_counter() - t0) * 1000.0)
-    return float(np.percentile(times, 50)), float(np.percentile(times, 99))
+        pre_ms.append(pre)
+        dev_ms.append(dev)
+    decomp = {
+        "p50_preprocess_ms": round(float(np.percentile(pre_ms, 50)), 3),
+        "p50_device_ms": round(float(np.percentile(dev_ms, 50)), 3),
+        "latency_mode": "device_preprocess" if device_pre else
+                        "host_preprocess",
+    }
+    return (float(np.percentile(times, 50)), float(np.percentile(times, 99)),
+            decomp)
 
 
 def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
     """Host input-pipeline throughput: SyntheticStore episodes through the
     FULL KeystepDataset preprocessing (workspace crop, 1 cm voxelize,
-    robot-box removal, sampling, augmentation, disc-position GT probs) and
+    robot-box removal, sampling, augmentation, robot-point masks) and
     the worker-pool loader + collate — the reference's DataLoader
     num_workers=4 path (loader.py:155-164). Returns host samples/s, i.e.
     what the input side can sustain independent of the device step."""
@@ -177,15 +227,10 @@ def probe_device_matmul(repeats=3):
 def main():
     import jax
     # persistent compile cache: the release-config train step is a large XLA
-    # program; cache it across processes so repeat runs start in seconds.
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # program; cache it across processes so repeat runs start in seconds
+    # (CPU-backend runs get a per-host subdir, robot3dlotus_tpu/utils/cache.py)
+    from robot3dlotus_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(jax)
     from __graft_entry__ import (
         RELEASE_PTV3, RELEASE_ACT, LOSS_CFG, _fake_batch, _fake_mp_batch,
     )
@@ -199,6 +244,12 @@ def main():
     # 'simple' (3D-LOTUS policy, the headline metric the driver records) or
     # 'motion' (3D-LOTUS++ motion planner — BASELINE config 3)
     bench_model = os.environ.get("BENCH_MODEL", "simple")
+    # BENCH_IMPL=xla disables the one-hot/windowed Pallas kernel family in
+    # one switch (the A/B for healthy hardware where XLA gathers may win);
+    # default 'auto' picks Pallas on a single TPU chip
+    impl = os.environ.get("BENCH_IMPL", "auto")
+    if impl == "xla":
+        os.environ["ROBOT3DLOTUS_FORCE_XLA"] = "1"
 
     # training runs the backbone in bfloat16 (the TPU-first configuration;
     # fp32 master params, fp32 losses — see models/ptv3.py compute_dtype)
@@ -287,7 +338,7 @@ def main():
         print(f"bench: loader bench failed: {e!r}", file=sys.stderr)
         loader_sps = None
     print("bench: latency bench...", file=sys.stderr, flush=True)
-    p50_ms, p99_ms = bench_latency()
+    p50_ms, p99_ms, lat_decomp = bench_latency()
 
     rec = {
         "metric": metric_name,
@@ -297,7 +348,9 @@ def main():
         "p50_latency_ms": round(p50_ms, 3),
         "p99_latency_ms": round(p99_ms, 3),
         "latency_target_ms": 10.0,
+        "impl": impl,
     }
+    rec.update(lat_decomp)
     if loader_sps is not None:
         # host-side input pipeline rate (full preprocessing + collate);
         # training is input-bound when this is below the train value
@@ -323,6 +376,30 @@ def main():
             rec["mfu_vs_device_matmul"] = round(
                 step_flops * steps_per_sec /
                 (rec["device_matmul_tflops"] * 1e12), 4)
+
+        # honest-MFU bookkeeping: the one-hot gather kernels ADD matmul
+        # FLOPs the algorithm doesn't need, so the headline flops_per_step
+        # overstates algorithmic MFU. A BENCH_IMPL=xla run records the
+        # plain-XLA program's FLOPs here; subsequent pallas runs report it
+        # as flops_algorithmic + the MFU computed against it.
+        flops_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FLOPS_XLA.json")
+        flops_key = f"{bench_model}-B{B}-N{N}-{dtype}"
+        try:
+            book = json.load(open(flops_file)) \
+                if os.path.exists(flops_file) else {}
+        except Exception:
+            book = {}
+        if impl == "xla":
+            book[flops_key] = step_flops
+            with open(flops_file, "w") as f:
+                json.dump(book, f, indent=1, sort_keys=True)
+        algo = book.get(flops_key)
+        if algo:
+            rec["flops_algorithmic"] = algo
+            rec["mfu_algorithmic"] = round(
+                algo * steps_per_sec / peak_flops, 4)
     print(json.dumps(rec))
 
 

@@ -40,7 +40,7 @@ from ..train.datasets.collate import TXT_BUCKETS, _bucket
 class Actioner:
     def __init__(self, exp_config, checkpoint=None, cli_opts=None,
                  best_disc_pos="max", num_ensembles=1, real_robot=False,
-                 save_obs_outs_dir=None):
+                 save_obs_outs_dir=None, device_preprocess=None):
         self.config = get_config(exp_config, cli_opts)
         self.data_cfg = dict(self.config.TRAIN_DATASET)
         self.act_cfg = dict(self.config.MODEL.action_config)
@@ -78,6 +78,17 @@ class Actioner:
         self._clip = None  # lazy on-demand CLIP text encoder
 
         self._jit_cache = {}
+        # fused on-device preprocessing (ops/eval_preprocess.py): the whole
+        # crop->voxelize->robot-rm->sample->normalize->forward->decode chain
+        # is ONE jitted program; the host only stacks camera buffers and the
+        # ~11 link-box parameters. Worth it when the host->device link is
+        # fast relative to host CPU (bench.py reports both decompositions).
+        if device_preprocess is None:
+            device_preprocess = bool(int(os.environ.get(
+                "ROBOT3DLOTUS_DEVICE_PREPROCESS", "0")))
+        self.device_preprocess = device_preprocess and num_ensembles == 1
+        self._obs_to_action = None
+        self._step_counter = 0
 
     # ------------------------------------------------------------------ #
 
@@ -213,6 +224,70 @@ class Actioner:
             pc_ft = np.concatenate([pc_ft, height[:, None]], 1)
         return pc_ft.astype(np.float32), centroid, radius, ee_pose
 
+    # ------------------------------------------------------------------ #
+    # fused on-device path (ops/eval_preprocess.py)
+
+    _RAW_BUCKETS = (65536, 131072, 262144, 524288, 1048576)
+
+    def _fused_fn(self):
+        if self._obs_to_action is None:
+            from ..ops.eval_preprocess import make_obs_to_action
+            self._obs_to_action = make_obs_to_action(
+                self.model, None, self.act_cfg, self.data_cfg,
+                self.WORKSPACE, self.num_points,
+                vox_capacity=int(os.environ.get(
+                    "ROBOT3DLOTUS_VOX_CAPACITY", "8192")))
+        return self._obs_to_action
+
+    def _device_predict(self, xyz, rgb, ee_pose, arm_links_info,
+                        instr_embed, step_id):
+        import jax
+        from ..ops.eval_preprocess import obb_params_np
+        from ..train.datasets.collate import _bucket
+
+        xyz = xyz.reshape(-1, 3).astype(np.float32)
+        rgb = rgb.reshape(-1, 3).astype(np.float32)
+        cap = _bucket(len(xyz), self._RAW_BUCKETS)
+        raw_xyz = np.zeros((cap, 3), np.float32)
+        raw_rgb = np.zeros((cap, 3), np.float32)
+        n = min(len(xyz), cap)
+        raw_xyz[:n] = xyz[:n]
+        raw_rgb[:n] = rgb[:n]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+
+        if str(self.data_cfg.get("rm_robot", "none")).startswith("box"):
+            box = RobotBox(
+                arm_links_info,
+                keep_gripper=self.data_cfg["rm_robot"] == "box_keep_gripper",
+                env_name="real" if self.real_robot else "rlbench")
+            obb = obb_params_np(box)
+        else:  # static placeholder; the jitted branch never reads it
+            obb = {"obb_rot": np.zeros((3, 3), np.float32),
+                   "obb_off": np.zeros(3, np.float32),
+                   "obb_half": np.zeros(3, np.float32)}
+
+        T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
+        txt = np.zeros((T, instr_embed.shape[-1]), np.float32)
+        t = min(instr_embed.shape[0], T)
+        txt[:t] = instr_embed[:t]
+        txt_mask = np.zeros(T, bool)
+        txt_mask[:t] = True
+
+        self._step_counter += 1
+        key = jax.random.fold_in(jax.random.PRNGKey(20240817),
+                                 self._step_counter)
+        fn = self._fused_fn()
+        action = np.array(fn(
+            self.variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
+            jnp.asarray(valid), jnp.asarray(obb["obb_rot"]),
+            jnp.asarray(obb["obb_off"]), jnp.asarray(obb["obb_half"]),
+            jnp.asarray(txt), jnp.asarray(txt_mask),
+            jnp.asarray(np.asarray(ee_pose, np.float32)),
+            np.int32(step_id), key))
+        action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
+        return action
+
     def predict(self, task_str=None, variation=None, step_id=0,
                 obs_state_dict=None, episode_id=None, instructions=None):
         taskvar = f"{task_str}+{variation}"
@@ -223,6 +298,18 @@ class Actioner:
         if instructions is None:
             instructions = self.taskvar_instrs.get(taskvar, ["do the task"])
         instr_embed = self._encode_instruction(instructions[0], taskvar=taskvar)
+
+        if self.device_preprocess:
+            action = self._device_predict(
+                xyz, rgb, np.asarray(obs["gripper"], np.float32),
+                obs.get("arm_links_info"), instr_embed, step_id)
+            out = {"action": action}
+            if self.save_obs_outs_dir:
+                np.save(os.path.join(
+                    self.save_obs_outs_dir,
+                    f"{taskvar}-{episode_id}-{step_id}.npy"),
+                    {"obs": obs, "action": action})
+            return out
 
         res = self.process_point_clouds(
             xyz, rgb, ee_pose=copy.deepcopy(np.asarray(obs["gripper"])),

@@ -120,7 +120,16 @@ def pallas_available():
     devices instead of splitting the batch. The XLA paths partition cleanly,
     so 'auto' falls back to them under a mesh; configs that run the kernels
     inside a per-device shard_map (or accept replication) can still force
-    attn_impl/conv_impl='pallas'."""
+    attn_impl/conv_impl='pallas'.
+
+    ROBOT3DLOTUS_FORCE_XLA=1 disables the whole kernel family in one place
+    (every 'auto' site: patch attention, windowed conv, row permutes, the
+    small-C stem gather) — the A/B switch for healthy-hardware runs where
+    XLA gathers may beat the one-hot MXU formulation (BENCH_IMPL=xla in
+    bench.py sets it)."""
+    import os
+    if os.environ.get("ROBOT3DLOTUS_FORCE_XLA", "") == "1":
+        return False
     try:
         return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:

@@ -19,10 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # executables across runs (the dryrun/bench share the same cache dir).
 import jax  # noqa: E402
 
-os.environ.setdefault(  # env (not jax.config) so spawned children inherit it
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+# CPU executables are host-feature specific but the persistent-cache key is
+# not: loading an entry compiled on a previous host generation segfaults
+# (utils/cache.py). Tests run the CPU backend, so use the per-host subdir,
+# exported as env so spawned children inherit it.
+from robot3dlotus_tpu.utils.cache import jax_cache_dir  # noqa: E402
+
+os.environ["JAX_COMPILATION_CACHE_DIR"] = jax_cache_dir(cpu=True)
 jax.config.update("jax_platforms", "cpu")
 # 8 virtual devices in THIS process only (jax.config, not XLA_FLAGS env):
 # mesh/sharding tests exercise multi-chip logic, while spawned subprocesses
