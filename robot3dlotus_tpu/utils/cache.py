@@ -1,14 +1,15 @@
-"""Persistent-compilation-cache directory selection.
+"""Persistent-compilation-cache policy.
 
-XLA:CPU caches AOT executables compiled for the EXACT host CPU feature set,
-but jax's persistent-cache key does not include those features — an entry
-written on one machine generation SIGILLs/segfaults when loaded on another
-(observed: a full test-suite crash inside compilation_cache
-get_executable_and_time after the dev host changed). TPU entries have no
-such problem (the key covers the device kind).
+XLA:CPU AOT executables do not reliably survive a serialize/deserialize
+round trip in this jaxlib: reloads fail the target-feature check (the
+compile side records pseudo-features like +prefer-no-scatter that the host
+check rejects) and segfault inside compilation_cache
+get_executable_and_time — observed as full test-suite crashes, both with
+entries from an older host generation AND with entries written minutes
+earlier on the same machine. TPU entries have no such problem.
 
-Fix: CPU-backend runs use a per-host-fingerprint subdirectory of the cache
-root; TPU runs keep the shared root.
+Policy: the persistent cache is enabled ONLY for non-CPU backends. CPU
+runs (tests, dryrun children) compile in-memory each process.
 """
 from __future__ import annotations
 
@@ -26,29 +27,40 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(flags.encode()).hexdigest()[:10]
 
 
-def jax_cache_dir(base: str | None = None, cpu: bool | None = None) -> str:
-    """Cache dir for this process. `cpu` defaults to whether JAX_PLATFORMS
-    requests the CPU backend (the decision must be made BEFORE jax
-    initializes, so it reads the env rather than jax.default_backend)."""
+def jax_cache_dir(base: str | None = None, cpu: bool | None = None):
+    """Cache dir for this process, or None when the persistent cache must
+    stay off (CPU backend — see module docstring). `cpu` defaults to
+    whether JAX_PLATFORMS requests the CPU backend (the decision must be
+    made BEFORE jax initializes, so it reads the env rather than
+    jax.default_backend)."""
+    if cpu is None:
+        cpu = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    if cpu:
+        return None
     if base is None:
         repo = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                               os.path.join(repo, ".jax_cache"))
-    if cpu is None:
-        cpu = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
-    if cpu:
-        tag = "cpu-" + _host_fingerprint()
-        if os.path.basename(base.rstrip("/")) == tag:  # already namespaced
-            return base
-        return os.path.join(base, tag)
     return base
 
 
 def enable_persistent_cache(jax, base: str | None = None,
                             cpu: bool | None = None,
-                            min_compile_secs: float = 5.0) -> str:
+                            min_compile_secs: float = 5.0):
+    if cpu is None:
+        # The env heuristic misses a process that switched platform via
+        # jax.config (pytest does: JAX_PLATFORMS stays 'axon' while the
+        # backend is CPU) — ask the live backend, which this call may
+        # safely initialize since the config updates below remain legal
+        # after backend init.
+        try:
+            cpu = jax.default_backend() == "cpu"
+        except Exception:
+            pass
     d = jax_cache_dir(base, cpu)
+    if d is None:
+        return None
     try:
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -19,13 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # executables across runs (the dryrun/bench share the same cache dir).
 import jax  # noqa: E402
 
-# CPU executables are host-feature specific but the persistent-cache key is
-# not: loading an entry compiled on a previous host generation segfaults
-# (utils/cache.py). Tests run the CPU backend, so use the per-host subdir,
-# exported as env so spawned children inherit it.
-from robot3dlotus_tpu.utils.cache import jax_cache_dir  # noqa: E402
-
-os.environ["JAX_COMPILATION_CACHE_DIR"] = jax_cache_dir(cpu=True)
+# NO persistent compilation cache on the CPU backend: XLA:CPU AOT entries
+# segfault on deserialize in this jaxlib (see utils/cache.py) — tests and
+# their spawned children compile in-memory each process.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+jax.config.update("jax_enable_compilation_cache", False)
 jax.config.update("jax_platforms", "cpu")
 # 8 virtual devices in THIS process only (jax.config, not XLA_FLAGS env):
 # mesh/sharding tests exercise multi-chip logic, while spawned subprocesses
@@ -34,9 +32,6 @@ jax.config.update("jax_platforms", "cpu")
 # XLA compiles pathologically slow.
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_ROOT = "/root/reference"
 
@@ -57,6 +52,38 @@ def reference_available():
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_executables_between_modules():
+    """XLA:CPU JIT executables (code pages + baked constants) accumulate in
+    jax's never-evicting jit caches; a full suite in one process crosses the
+    kernel's vm.max_map_count (65530) and LLVM segfaults mid-compile when
+    mmap starts failing (observed at 65k maps). Dropping the caches between
+    test modules unmaps finished modules' executables and keeps the map
+    count bounded; compiled fns don't usefully persist across modules."""
+    yield
+    jax.clear_caches()
+
+
+def _n_memory_maps():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_mappings_within_module():
+    """Backstop for single modules that alone approach the map limit
+    (test_policy peaks ~36k): clear mid-module once past a safety line."""
+    yield
+    if _n_memory_maps() > 45000:
+        jax.clear_caches()
 
 
 def pytest_configure(config):
