@@ -155,13 +155,20 @@ class SubMConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, nmap, interpret=False):
+    def __call__(self, x, nmap, interpret=False, categorical=None):
         """nmap: a NeighborMap (XLA gather paths) or a WindowMap (windowed
         Pallas kernel, ops/pallas_conv.py) — the conv_impl backbone config
-        decides which one the stage aux carries."""
+        decides which one the stage aux carries.
+
+        categorical: optional (idx (B, N) int32, table (Kcat, E)) embedded
+        categorical channels logically appended to x; the weight covers
+        Cin = x.C + E and the NeighborMap path gathers the raw index instead
+        of the E channels (ops/sparse_conv.subm_conv_apply)."""
         from ..ops.pallas_conv import WindowMap, subm_conv_windowed
         K = self.kernel_size ** 3
         cin = x.shape[-1]
+        if categorical is not None:
+            cin += categorical[1].shape[-1]
         # spconv default init: kaiming-uniform-ish over fan_in = K*Cin
         fan_in = K * cin
         w_init = nn.initializers.variance_scaling(
@@ -174,9 +181,14 @@ class SubMConv(nn.Module):
             x = x.astype(self.dtype)
             weight = weight.astype(self.dtype)
         if isinstance(nmap, WindowMap):
+            if categorical is not None:
+                cat_idx, cat_table = categorical
+                x = jnp.concatenate(
+                    [x, cat_table[cat_idx.astype(jnp.int32)].astype(x.dtype)],
+                    axis=-1)
             return subm_conv_windowed(x, nmap, weight, bias,
                                       interpret=interpret)
-        return subm_conv_apply(x, nmap, weight, bias)
+        return subm_conv_apply(x, nmap, weight, bias, categorical=categorical)
 
 
 def rpe_bias(table, rel_pos, pos_bnd):

@@ -179,8 +179,13 @@ class MotionPlannerTPU(nn.Module):
             4, ac.get("pc_label_channels", 16),
             embedding_init=nn.initializers.truncated_normal(0.02),
             name="pc_label_embedding")
-        label_e = label_table(batch["pc_labels"].astype(jnp.int32))
-        pc_fts = jnp.concatenate([batch["pc_fts"], label_e], axis=-1)
+        # the label embedding is only consumed by the backbone stem conv;
+        # pass it as a categorical channel (index + table) so the stem
+        # gathers 1 raw channel instead of 16 embedded ones — the gather
+        # kernel cost is linear in channel count (ops/sparse_conv.py).
+        # table rows via a full-range lookup keeps nn.Embed's param layout.
+        labels = batch["pc_labels"].astype(jnp.int32)
+        stem_categorical = (labels, label_table(jnp.arange(4)))
 
         txt_ctx = dense(ctx_ch, name="txt_fc")(batch["txt_embeds"])
         txt_mask = batch["txt_mask"]
@@ -220,9 +225,10 @@ class MotionPlannerTPU(nn.Module):
             **ptv3_kwargs(self.ptv3_cfg),
         )
         outs = backbone(
-            batch["pc_fts"][..., :3], pc_fts, batch["pc_mask"],
+            batch["pc_fts"][..., :3], batch["pc_fts"], batch["pc_mask"],
             batch["pc_counts"], context=context, context_mask=context_mask,
-            context_vec=context_vec, deterministic=deterministic)
+            context_vec=context_vec, deterministic=deterministic,
+            stem_categorical=stem_categorical)
 
         final = outs[-1]
         head = TrajActionHead(

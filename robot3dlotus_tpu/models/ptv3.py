@@ -227,10 +227,14 @@ class PointTransformerV3TPU(nn.Module):
     @nn.compact
     def __call__(self, coord, feat, mask, counts, context=None,
                  context_mask=None, context_vec=None, deterministic=True,
-                 return_dec_layers=True):
+                 return_dec_layers=True, stem_categorical=None):
         """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
         counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
-        context_vec: (B, ctx) vector for adaptive norms."""
+        context_vec: (B, ctx) vector for adaptive norms;
+        stem_categorical: optional (idx (B, N) int32, table (Kcat, E))
+        categorical channels logically appended to feat for the stem conv
+        only (the motion planner's semantic labels) — gathered as one raw
+        index channel instead of E embedding channels (layers.SubMConv)."""
         num_stages = len(self.enc_depths)
         B, N0, _ = feat.shape
         caps = self._stage_caps(N0)
@@ -270,7 +274,8 @@ class PointTransformerV3TPU(nn.Module):
         stem_nmap = build_neighbor_map(grid_coord, mask, self.stem_kernel,
                                        depth0, extent=self.lookup_extent)
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
-                     name="embedding_stem_conv", dtype=dt)(feat, stem_nmap)
+                     name="embedding_stem_conv", dtype=dt)(
+            feat, stem_nmap, categorical=stem_categorical)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
                          adaptive=enc_adaptive, name="embedding_norm",
                          dtype=dt)(

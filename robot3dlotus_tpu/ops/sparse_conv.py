@@ -153,11 +153,27 @@ def _vmap_searchsorted(sorted_rows, queries):
             sorted_rows, queries)
 
 
+# test seam: run the smallc one-hot gather path in Pallas interpret mode on
+# CPU (tests/test_structural_ops.py exercises the categorical-split branch)
+_SMALLC_INTERPRET = False
+
+
 def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
-                    streaming: bool | None = None):
-    """feat: (B, N, Cin); weight: (K, Cin, Cout); bias: (Cout,) or None.
+                    streaming: bool | None = None, categorical=None):
+    """feat: (B, N, Cin); weight: (K, Cin + E, Cout); bias: (Cout,) or None.
 
     out[b, n] = sum_k ok * W[k]^T feat[b, idx[b,n,k]]  (+ bias on active sites)
+
+    categorical: optional (idx (B, N) int32 in [0, Kcat), table (Kcat, E)) —
+    an embedded categorical feature logically concatenated to `feat`
+    (the motion planner's per-point semantic labels,
+    motion_planner_ptv3.py:165-166). The gather cost of the one-hot kernel
+    family scales linearly with the gathered channel count, so instead of
+    gathering the E embedding channels we gather the RAW index as ONE extra
+    float channel and reconstruct the embedding post-gather with a one-hot
+    row-select matmul — bit-identical (the one-hot picks exact table rows,
+    and the table still receives gradients through the matmul), with
+    (Cin+1)/(Cin+E) of the gather traffic.
 
     Two equivalent dataflows:
       * dense:     materialize (B, N, K, Cin) neighbor features, one
@@ -176,25 +192,54 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
     """
     if streaming is None:
         streaming = weight.shape[0] >= 27
-    if streaming and feat.shape[-1] <= 32:
-        # tiny-Cin stencils (the k=5 stem: Cin=7 policy, 7+16 label channels
+    smallc_width = feat.shape[-1] + (1 if categorical is not None else 0)
+    use_smallc = streaming and smallc_width <= 32
+    if not use_smallc and categorical is not None:
+        # fallback paths consume the materialized concat
+        cat_idx, cat_table = categorical
+        feat = jnp.concatenate(
+            [feat, cat_table[cat_idx.astype(jnp.int32)].astype(feat.dtype)],
+            axis=-1)
+        categorical = None
+    if use_smallc:
+        # tiny-Cin stencils (the k=5 stem: Cin=7 policy, 7(+1 label channel)
         # motion planner): gather ALL taps at once
         # through the two-level one-hot kernel (ops/pallas_gather.py) and do
         # one dense (B*N, K*Cin) x (K*Cin, Cout) matmul — the K scattered
         # row gathers of the scan were the single slowest op of the release
         # step. Falls back to the scan off-TPU.
         from .pallas_attention import pallas_available
-        if pallas_available():
+        if pallas_available() or _SMALLC_INTERPRET:
             from .pallas_gather import gather_rows_smallc
             B, N, C = feat.shape
             K = nmap.idx.shape[-1]
+            if categorical is not None:
+                cat_idx, cat_table = categorical
+                feat = jnp.concatenate(
+                    [feat, cat_idx.astype(feat.dtype)[..., None]], axis=-1)
             g = gather_rows_smallc(
-                feat, nmap.idx.reshape(B, N * K)).reshape(B, N, K, C)
+                feat, nmap.idx.reshape(B, N * K),
+                interpret=_SMALLC_INTERPRET).reshape(
+                    B, N, K, feat.shape[-1])
+            if categorical is not None:
+                onehot = (g[..., -1:].astype(jnp.int32) ==
+                          jnp.arange(cat_table.shape[0], dtype=jnp.int32))
+                g_lab = jnp.einsum(
+                    "bnke,ec->bnkc", onehot.astype(feat.dtype),
+                    cat_table.astype(feat.dtype),
+                    preferred_element_type=feat.dtype)
+                g = jnp.concatenate([g[..., :-1], g_lab], axis=-1)
             g = jnp.where(nmap.ok[..., None], g, 0.0)
             out = jnp.einsum("bnkc,kcd->bnd", g, weight,
                              preferred_element_type=jnp.float32)
             streaming = False
         else:
+            if categorical is not None:
+                cat_idx, cat_table = categorical
+                feat = jnp.concatenate(
+                    [feat,
+                     cat_table[cat_idx.astype(jnp.int32)].astype(feat.dtype)],
+                    axis=-1)
             out = _subm_conv_streaming(feat, nmap, weight)
     elif streaming:
         out = _subm_conv_streaming(feat, nmap, weight)

@@ -282,3 +282,32 @@ def test_dense_neighbor_map_matches_searchsorted():
         b = build_neighbor_map(gc, mask, k, depth=6, extent=32)
         np.testing.assert_array_equal(np.asarray(a.ok), np.asarray(b.ok))
         np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+
+
+def test_subm_conv_categorical_split_matches_concat():
+    """The motion planner's stem passes its semantic-label embedding as a
+    (index, table) categorical instead of materialized channels; the smallc
+    one-hot gather path (interpret mode) must match the concat+streaming
+    dataflow exactly — the one-hot reconstruct is a row-select, not an
+    approximation (ops/sparse_conv.py categorical path)."""
+    import robot3dlotus_tpu.ops.sparse_conv as sc
+    rng = np.random.RandomState(11)
+    B, N, K, Cin, E, Cout = 2, 64, 27, 7, 16, 8
+    feat = jnp.asarray(rng.randn(B, N, Cin).astype(np.float32))
+    lab = jnp.asarray(rng.randint(0, 4, (B, N)).astype(np.int32))
+    table = jnp.asarray(rng.randn(4, E).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, N, K)).astype(np.int32))
+    ok = jnp.asarray(rng.rand(B, N, K) > 0.3)
+    w = jnp.asarray(rng.randn(K, Cin + E, Cout).astype(np.float32) * 0.1)
+    nmap = sc.NeighborMap(idx=idx, ok=ok)
+
+    concat = jnp.concatenate([feat, table[lab]], axis=-1)
+    ref = np.asarray(sc.subm_conv_apply(concat, nmap, w, streaming=True))
+
+    sc._SMALLC_INTERPRET = True
+    try:
+        got = np.asarray(sc.subm_conv_apply(
+            feat, nmap, w, streaming=True, categorical=(lab, table)))
+    finally:
+        sc._SMALLC_INTERPRET = False
+    np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-5)
