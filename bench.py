@@ -121,10 +121,16 @@ def bench_latency(num_calls=None, warmup=5):
                     jax.random.PRNGKey(1), step)))
             t2 = time.perf_counter()
             return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3
-        keep = workspace_mask_np(xyz, ws, rm_table=True)
-        xyz, rgb = xyz[keep], rgb[keep]
-        xyz, first = voxelize_pcd_np(xyz, 0.01)
-        rgb = rgb[first]
+        from robot3dlotus_tpu.native import crop_voxelize_trace_native
+        fused_host = crop_voxelize_trace_native(xyz, 0.01, ws, rm_table=True)
+        if fused_host is not None:  # fused C++ crop+voxelize (actioner path)
+            xyz, first, _ = fused_host
+            rgb = rgb[first]
+        else:
+            keep = workspace_mask_np(xyz, ws, rm_table=True)
+            xyz, rgb = xyz[keep], rgb[keep]
+            xyz, first = voxelize_pcd_np(xyz, 0.01)
+            rgb = rgb[first]
         m = ~box.point_mask(xyz)
         xyz, rgb = xyz[m], rgb[m]
         if len(xyz) > N:

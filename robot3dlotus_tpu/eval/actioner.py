@@ -176,17 +176,30 @@ class Actioner:
     def process_point_clouds(self, xyz, rgb, ee_pose=None,
                              arm_links_info=None, taskvar=None):
         """Host preprocessing (reference eval_simple_policy.py:151-251)."""
-        xyz = xyz.reshape(-1, 3).astype(np.float32)
-        rgb = rgb.reshape(-1, 3).astype(np.float32)
-        in_mask = workspace_mask_np(
-            xyz, self.WORKSPACE, rm_table=self.data_cfg.get("rm_table", True))
-        xyz, rgb = xyz[in_mask], rgb[in_mask]
-        if len(xyz) == 0:
-            return None, None, None, None
-
-        xyz, first = voxelize_pcd_np(
-            xyz, self.act_cfg.get("voxel_size", 0.01))
-        rgb = rgb[first]
+        xyz = np.ascontiguousarray(xyz.reshape(-1, 3), np.float32)
+        rgb = rgb.reshape(-1, 3)
+        rm_table = self.data_cfg.get("rm_table", True)
+        voxel_size = self.act_cfg.get("voxel_size", 0.01)
+        # fused C++ crop+voxelize skips the mask materialization and the
+        # two full-cloud fancy-index copies of the separate path; `first`
+        # indexes the ORIGINAL cloud so rgb gathers directly
+        from ..native import crop_voxelize_trace_native
+        fused = crop_voxelize_trace_native(
+            xyz, voxel_size, self.WORKSPACE, rm_table=rm_table)
+        if fused is not None:
+            xyz, first, _ = fused
+            if len(xyz) == 0:
+                return None, None, None, None
+            rgb = rgb[first].astype(np.float32)
+        else:
+            rgb = rgb.astype(np.float32)
+            in_mask = workspace_mask_np(xyz, self.WORKSPACE,
+                                        rm_table=rm_table)
+            xyz, rgb = xyz[in_mask], rgb[in_mask]
+            if len(xyz) == 0:
+                return None, None, None, None
+            xyz, first = voxelize_pcd_np(xyz, voxel_size)
+            rgb = rgb[first]
 
         if self.data_cfg.get("rm_robot", "none").startswith("box"):
             box = RobotBox(

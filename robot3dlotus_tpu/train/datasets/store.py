@@ -155,7 +155,13 @@ def open_output_store(path: str, kind: str = "auto"):
 
 
 class SyntheticStore:
-    """Procedural GemBench-shaped episodes (deterministic per episode id)."""
+    """Procedural GemBench-shaped episodes (deterministic per episode id).
+
+    Episodes are generated once and memoized as *encoded* msgpack bytes;
+    every `get` decodes them, so repeated reads cost exactly what an
+    LmdbStore read costs (decode only). Without this, loader benchmarks
+    measured the procedural generator (dominated by the voxel dedup) rather
+    than the input pipeline."""
 
     def __init__(self, num_taskvars=4, episodes_per_taskvar=8,
                  steps_per_episode=4, points_per_step=12000, seed=0):
@@ -164,6 +170,7 @@ class SyntheticStore:
         self.steps = steps_per_episode
         self.npts = points_per_step
         self.seed = seed
+        self._cache = {}
 
     def taskvars(self):
         return list(self._tv)
@@ -172,6 +179,12 @@ class SyntheticStore:
         return list(self._eps)
 
     def get(self, taskvar, episode):
+        key = (taskvar, episode)
+        if key not in self._cache:
+            self._cache[key] = _pack_np(self._generate(taskvar, episode))
+        return _unpack_np(self._cache[key])
+
+    def _generate(self, taskvar, episode):
         tvi = self._tv.index(taskvar)
         epi = self._eps.index(episode)
         rng = np.random.RandomState(
@@ -187,9 +200,12 @@ class SyntheticStore:
                 rng.uniform([0.0, -0.2, ws_z + 0.05],
                             [0.4, 0.2, ws_z + 0.3], (1, 3))
             pts = np.concatenate([base, blobs], 0).astype(np.float32)
-            # voxel-dedup at 1 cm like the preprocessing chain
-            vox = np.round(pts / 0.01).astype(np.int64)
-            _, idx = np.unique(vox, axis=0, return_index=True)
+            # voxel-dedup at 1 cm like the preprocessing chain; coords are
+            # bounded (|x|<~2 m -> |vox|<200) so a packed 1-D key makes the
+            # unique a plain int64 sort instead of a structured-axis sort
+            vox = np.round(pts / 0.01).astype(np.int64) + 512
+            key = (vox[:, 0] << 20) | (vox[:, 1] << 10) | vox[:, 2]
+            _, idx = np.unique(key, return_index=True)
             pts = pts[np.sort(idx)]
             xyz.append(pts)
             rgb.append(rng.randint(0, 256, (len(pts), 3)).astype(np.uint8))
