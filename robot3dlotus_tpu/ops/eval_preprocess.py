@@ -36,7 +36,7 @@ def obb_params_np(box) -> Dict[str, np.ndarray]:
     """RobotBox -> stacked OBB test parameters for the device:
     point p is inside box k iff |p @ rot_cat[:, 3k:3k+3] - off[3k:3k+3]|
     <= half[3k:3k+3] on every axis (utils/robot_box.py:76-99)."""
-    rot_cat, off, half, k = box._stack()
+    rot_cat, off, half = box._stack()[:3]
     return {
         "obb_rot": np.ascontiguousarray(rot_cat, np.float32),   # (3, 3K)
         "obb_off": np.ascontiguousarray(off, np.float32),       # (3K,)
