@@ -8,6 +8,16 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
+# The suite is COMPILE-bound, not run-bound: eager flax dispatch on tiny
+# test models compiles ~1k XLA:CPU executables per heavy test (measured
+# 99.6 s of a 128 s parity test inside backend_compile_and_load). Dropping
+# the backend optimization level trades negligible runtime on toy shapes
+# for ~40% less LLVM time per compile; numerics are unchanged (XLA applies
+# no fast-math at any level) — golden/parity tolerances all hold.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_backend_optimization_level=0"
+                           " --xla_llvm_disable_expensive_passes=true")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # In the axon environment, sitecustomize registers the TPU plugin before
@@ -41,7 +51,9 @@ CPU_MESH_ENV = dict(
     os.environ,
     PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     JAX_PLATFORMS="cpu",
-    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8"
+              " --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true",
 )
 
 
@@ -57,6 +69,35 @@ def add_reference_to_path():
 import pytest  # noqa: E402
 
 
+def abstract_init(model, rngs, *args, **kwargs):
+    """Shape-only flax init: eval_shape the init (ZERO op compiles) and
+    materialize zeros. For converter-parity tests every leaf that affects
+    the compared output is overwritten from the torch state_dict, so
+    executing the real random init — hundreds of RNG kernels, the single
+    biggest compile cost of the heavy tests — is pure waste. Returns a
+    plain (unfrozen) dict."""
+    import flax
+    import jax.numpy as jnp
+    shapes = jax.eval_shape(lambda: model.init(rngs, *args, **kwargs))
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), flax.core.unfreeze(shapes))
+
+
+def distinct_init(model, rngs, *args, **kwargs):
+    """Like abstract_init but fills each leaf with DISTINCT deterministic
+    values (host-side iota mod prime) — zeros would let a transposed or
+    permuted converter mapping pass a roundtrip bit-equality check."""
+    import flax
+    shapes = jax.eval_shape(lambda: model.init(rngs, *args, **kwargs))
+    import numpy as np_
+
+    def fill(s):
+        n = int(np_.prod(s.shape)) if s.shape else 1
+        return ((np_.arange(n) % 251 - 125).astype(s.dtype)
+                .reshape(s.shape))
+    return jax.tree_util.tree_map(fill, flax.core.unfreeze(shapes))
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _release_jit_executables_between_modules():
     """XLA:CPU JIT executables (code pages + baked constants) accumulate in
@@ -64,9 +105,13 @@ def _release_jit_executables_between_modules():
     kernel's vm.max_map_count (65530) and LLVM segfaults mid-compile when
     mmap starts failing (observed at 65k maps). Dropping the caches between
     test modules unmaps finished modules' executables and keeps the map
-    count bounded; compiled fns don't usefully persist across modules."""
+    count bounded. The drop is CONDITIONAL on the live map count: modules
+    share most tiny-op executables (same primitives at similar shapes), so
+    an unconditional clear forces each module to recompile the shared set —
+    measured as a large fraction of suite time on this 1-core host."""
     yield
-    jax.clear_caches()
+    if _n_memory_maps() > 25000:
+        jax.clear_caches()
 
 
 def _n_memory_maps():

@@ -86,12 +86,12 @@ def test_device_preprocess_matches_host_no_subsample():
 
 
 def test_device_preprocess_subsamples_to_capacity():
-    xyz, rgb, arm = _raw_obs(points=40000, seed=1)
+    xyz, rgb, arm = _raw_obs(points=12000, seed=1)
     ws = get_robot_workspace()
     host_xyz, _ = _host_chain(xyz, rgb, arm, ws)
     N = max(len(host_xyz) // 2, 8)  # force subsampling
 
-    cap = 65536
+    cap = 16384
     raw_xyz = np.zeros((cap, 3), np.float32)
     raw_rgb = np.zeros((cap, 3), np.float32)
     raw_xyz[:len(xyz)] = xyz
@@ -112,9 +112,11 @@ def test_device_preprocess_subsamples_to_capacity():
     assert int(count) == N == mask.sum()
     # every selected point is one of the host-surviving voxels (up to the
     # voxel-mean arithmetic): nearest host voxel within half a voxel
+    # (kd-tree, not an (n_sel, n_host, 3) broadcast matrix)
+    from scipy.spatial import cKDTree
     sel = np.asarray(pc_ft)[mask][:, :3] + np.asarray(centroid)
-    d = np.linalg.norm(sel[:, None, :] - host_xyz[None], axis=-1)
-    assert float(d.min(1).max()) < 0.005
+    d, _ = cKDTree(host_xyz).query(sel, k=1)
+    assert float(d.max()) < 0.005
 
     # different keys -> different subsets (randomness is live)
     pc2, mask2, *_ = device_preprocess(

@@ -120,9 +120,10 @@ def _convert_params(state_dict, my_model, sample_args, model_cfg, rng):
     params_tree, bstats_tree, missing, unexpected = torch_to_flax(
         sd, model_cfg)
     assert not unexpected, unexpected
-    variables = my_model.init({"params": rng, "dropout": rng,
-                               "shuffle": rng}, *sample_args,
-                              deterministic=True)
+    from conftest import abstract_init
+    variables = abstract_init(
+        my_model, {"params": rng, "dropout": rng, "shuffle": rng},
+        *sample_args, deterministic=True)
 
     def _merge(dst, src):
         for k, v in src.items():
@@ -222,11 +223,10 @@ def test_backbone_forward_parity_cosine_only_decoder():
     # this backbone-only state_dict; backbone names must all resolve
     bp_missing = [k for k in missing if k.startswith("ptv3_model.")]
     assert not bp_missing, bp_missing
-    variables = my_model.init(
-        {"params": rng, "dropout": rng, "shuffle": rng}, coord, feat, mask,
-        counts, context_vec=cv, deterministic=True)
-    import flax
-    variables = flax.core.unfreeze(variables)
+    from conftest import abstract_init
+    variables = abstract_init(
+        my_model, {"params": rng, "dropout": rng, "shuffle": rng}, coord,
+        feat, mask, counts, context_vec=cv, deterministic=True)
 
     def _merge(dst, src):
         for k, v in src.items():
@@ -285,11 +285,11 @@ def test_backbone_forward_parity_ca():
     params_tree, bstats_tree, missing, unexpected = torch_to_flax(
         sd, model_cfg)
     assert not unexpected, unexpected
-    variables = my_model.init(
-        {"params": rng, "dropout": rng, "shuffle": rng}, coord, feat, mask,
-        counts, context=ctx, context_mask=ctx_mask, deterministic=True)
-    import flax
-    variables = flax.core.unfreeze(variables)
+    from conftest import abstract_init
+    variables = abstract_init(
+        my_model, {"params": rng, "dropout": rng, "shuffle": rng}, coord,
+        feat, mask, counts, context=ctx, context_mask=ctx_mask,
+        deterministic=True)
 
     def _merge(dst, src):
         for k, v in src.items():

@@ -156,11 +156,11 @@ def test_policy_action_parity_adanorm():
         {k: v for k, v in ref.state_dict().items()}, model_cfg)
     assert not unexpected, unexpected
 
+    from conftest import abstract_init
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key, "shuffle": key},
-                           my_batch, deterministic=True)
-    import flax
-    variables = flax.core.unfreeze(variables)
+    variables = abstract_init(
+        model, {"params": key, "dropout": key, "shuffle": key},
+        my_batch, deterministic=True)
 
     def _merge(dst, src, path=""):
         for k, v in src.items():
@@ -302,11 +302,11 @@ def test_motion_planner_action_parity_ca():
         dict(ref.state_dict()), model_cfg)
     assert not unexpected, unexpected
 
+    from conftest import abstract_init
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key, "shuffle": key},
-                           my_batch, deterministic=True)
-    import flax
-    variables = flax.core.unfreeze(variables)
+    variables = abstract_init(
+        model, {"params": key, "dropout": key, "shuffle": key},
+        my_batch, deterministic=True)
 
     def _merge(dst, src, path=""):
         for k, v in src.items():

@@ -176,11 +176,11 @@ def test_release_scale_action_parity_ca():
     assert not unexpected, unexpected
     assert not missing, missing
 
+    from conftest import abstract_init
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key, "shuffle": key},
-                           my_batch, deterministic=True)
-    import flax
-    variables = flax.core.unfreeze(variables)
+    variables = abstract_init(
+        model, {"params": key, "dropout": key, "shuffle": key},
+        my_batch, deterministic=True)
 
     def _merge(dst, src, path=""):
         for k, v in src.items():

@@ -29,10 +29,12 @@ def test_name_map_covers_flax_tree(variant):
     cfg = make_model_cfg(variant)
     model = SimplePolicyTPU(ptv3_cfg=cfg["ptv3_config"],
                             act_cfg=cfg["action_config"], variant=variant)
+    from conftest import abstract_init
     batch = fake_batch()
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key, "shuffle": key},
-                           batch, deterministic=True)
+    variables = abstract_init(
+        model, {"params": key, "dropout": key, "shuffle": key},
+        batch, deterministic=True)
     flat_params = flatten_tree(variables["params"])
     flat_stats = flatten_tree(variables["batch_stats"])
 
@@ -54,10 +56,12 @@ def test_roundtrip_bit_exact():
     cfg = make_model_cfg("ca")
     model = SimplePolicyTPU(ptv3_cfg=cfg["ptv3_config"],
                             act_cfg=cfg["action_config"], variant="ca")
+    from conftest import distinct_init
     batch = fake_batch()
     key = jax.random.PRNGKey(1)
-    variables = model.init({"params": key, "dropout": key, "shuffle": key},
-                           batch, deterministic=True)
+    variables = distinct_init(
+        model, {"params": key, "dropout": key, "shuffle": key},
+        batch, deterministic=True)
     params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
     stats = jax.tree_util.tree_map(np.asarray, dict(variables["batch_stats"]))
 
