@@ -73,11 +73,6 @@ def bench_latency(num_calls=None, warmup=5):
     }
     variables = init_variables(model, dummy, jax.random.PRNGKey(0))
 
-    @jax.jit
-    def run(variables, batch):
-        preds = model.apply(variables, batch, deterministic=True)
-        return decode_actions(preds, RELEASE_ACT)
-
     # Per-step inputs ride ONE flat H2D buffer: on this relay rig each
     # transfer pays ~1 ms of RPC latency, so 7 separate batch arrays cost
     # ~7 ms before the forward even starts. The jitted program unpacks
@@ -202,6 +197,13 @@ def bench_latency(num_calls=None, warmup=5):
 
     for i in range(warmup):
         one_call(i)
+    # BENCH_LAT_PROFILE_DIR: wrap the measured calls in a profiler trace
+    # (parse per memory: sum 'X' event durations for the TPU pid in
+    # trace.json.gz) — reuses this process's compiled program instead of
+    # paying a fresh relay compile in a standalone script
+    prof_dir = os.environ.get("BENCH_LAT_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     times, pre_ms, dev_ms, host_ms = [], [], [], []
     for i in range(num_calls):
         t0 = time.perf_counter()
@@ -211,6 +213,10 @@ def bench_latency(num_calls=None, warmup=5):
         dev_ms.append(out[2])
         if len(out) > 3:
             host_ms.append(out[3])
+    if prof_dir:
+        jax.profiler.stop_trace()
+        print(f"bench: wrote latency profiler trace to {prof_dir}",
+              file=sys.stderr)
     decomp = {
         "p50_preprocess_ms": round(float(np.percentile(pre_ms, 50)), 3),
         "p50_device_ms": round(float(np.percentile(dev_ms, 50)), 3),

@@ -17,10 +17,24 @@ from robot3dlotus_tpu.scripts.summarize_tst_results import (
 
 
 @pytest.mark.slow
-def test_eval_cli_end_to_end(tmp_path):
+def test_eval_cli_end_to_end(tmp_path, monkeypatch):
     from tests.test_training_driver import _make_config
     from robot3dlotus_tpu.train import train_simple_policy
     from robot3dlotus_tpu.eval import eval_simple_policy_server
+
+    # The eval server spawns its consumer/producers with the inherited
+    # environment. On the axon dev rig that would hand them
+    # JAX_PLATFORMS=axon — making this "hermetic" CPU test silently depend
+    # on (and block on) the real TPU tunnel. Pin the children to a plain
+    # 1-device CPU client; the in-process side is already pinned by
+    # conftest's jax.config.
+    import os as _os
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PYTHONPATH", repo_root)
+    monkeypatch.setenv("XLA_FLAGS",
+                       "--xla_backend_optimization_level=0"
+                       " --xla_llvm_disable_expensive_passes=true")
 
     cfg = _make_config(tmp_path, "SimplePolicyPTV3CA", "synthetic")
     train_simple_policy.main(cfg)

@@ -315,10 +315,19 @@ def _server_env_builder():
 
 
 @pytest.mark.slow
-def test_pipeline_eval_server_cache_roundtrip(tmp_path):
+def test_pipeline_eval_server_cache_roundtrip(tmp_path, monkeypatch):
     """The producer/consumer server with stateful=True carries the episode
     cache through the queues and writes checkpoint-tagged results."""
     from functools import partial
+    # pin spawned consumer/producers to a plain CPU client (see
+    # test_eval_cli.py — without this they inherit the rig's
+    # JAX_PLATFORMS=axon and block on the real TPU tunnel)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PYTHONPATH", repo_root)
+    monkeypatch.setenv("XLA_FLAGS",
+                       "--xla_backend_optimization_level=0"
+                       " --xla_llvm_disable_expensive_passes=true")
     plan_file, label_file = _write_gt_assets(tmp_path)
     mp_config_file = _write_mp_config(tmp_path)
     result_file = str(tmp_path / "results.jsonl")
