@@ -96,11 +96,12 @@ class Actioner:
     def _dummy_batch(self, T=8):
         N = self.num_points
         cin = int(self.config.MODEL.ptv3_config.in_channels)
+        txt_dim = int(self.act_cfg.get("txt_ft_size", 512))
         return {
             "pc_fts": jnp.zeros((1, N, cin), jnp.float32),
             "pc_mask": jnp.ones((1, N), bool),
             "pc_counts": jnp.full((1,), N, jnp.int32),
-            "txt_embeds": jnp.zeros((1, T, 512), jnp.float32),
+            "txt_embeds": jnp.zeros((1, T, txt_dim), jnp.float32),
             "txt_mask": jnp.ones((1, T), bool),
             "ee_poses": jnp.asarray(
                 [[0, 0, 0, 0, 0, 0, 1, 1]], jnp.float32),

@@ -1,0 +1,87 @@
+"""The Actioner's single-buffer H2D path must reproduce the dict-batch
+program bit-for-bit: the flat packing (eval/actioner.py:_predict_fn_flat)
+is a transport optimization for RPC-priced device links, not a model
+change. Packs random observations both ways and compares decoded actions.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from robot3dlotus_tpu.configs.node import ConfigNode
+from robot3dlotus_tpu.eval.actioner import Actioner
+from robot3dlotus_tpu.train.datasets.collate import TXT_BUCKETS, _bucket
+
+from test_training_driver import TINY_PTV3
+
+
+def _actioner(tmp_path):
+    act = {
+        "voxel_size": 0.01, "context_channels": 32, "txt_ft_size": 64,
+        "use_ee_pose": False, "use_step_id": False, "max_steps": 30,
+        "reduce": "max", "dim_actions": 7,
+        "pos_pred_type": "heatmap_disc", "pos_heatmap_temp": 0.1,
+        "rot_pred_type": "euler_disc", "dropout": 0.0,
+        "pos_bins": 5, "pos_bin_size": 0.01, "best_disc_pos": "max",
+        "euler_resolution": 5,
+    }
+    cfg = ConfigNode({
+        "SEED": 3,
+        "output_dir": str(tmp_path / "run"),
+        "TRAIN_DATASET": {"data_dir": "synthetic", "num_points": 128,
+                          "pos_bins": 5, "pos_type": "disc"},
+        "MODEL": {
+            "model_class": "SimplePolicyPTV3CA",
+            "ptv3_config": dict(TINY_PTV3),
+            "action_config": act,
+        },
+    })
+    cfg.freeze()
+    f = tmp_path / "config.yaml"
+    with open(f, "w") as fh:
+        cfg.dump(fh)
+    return Actioner(str(f))
+
+
+def test_flat_predict_matches_dict_batch(tmp_path):
+    a = _actioner(tmp_path)
+    rng = np.random.RandomState(0)
+    N = a.num_points
+    n = N - 17  # partial cloud exercises the mask/count path
+    cin = int(a.config.MODEL.ptv3_config.in_channels)
+    pc_ft = rng.uniform(-0.4, 0.4, (n, cin)).astype(np.float32)
+    instr_embed = rng.randn(3, 64).astype(np.float32)
+    ee = np.asarray([0.1, -0.2, 0.9, 0, 0, 0, 1, 1], np.float32)
+    step_id = 2
+
+    # dict-batch program (the ensemble path's layout)
+    pc = np.zeros((1, N, cin), np.float32)
+    pc[0, :n] = pc_ft
+    mask = np.zeros((1, N), bool)
+    mask[0, :n] = True
+    T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
+    txt = np.zeros((1, T, instr_embed.shape[-1]), np.float32)
+    txt[0, :3] = instr_embed
+    txt_mask = np.zeros((1, T), bool)
+    txt_mask[0, :3] = True
+    batch = {
+        "pc_fts": jnp.asarray(pc), "pc_mask": jnp.asarray(mask),
+        "pc_counts": jnp.asarray([n], jnp.int32),
+        "txt_embeds": jnp.asarray(txt), "txt_mask": jnp.asarray(txt_mask),
+        "ee_poses": jnp.asarray(ee[None]),
+        "step_ids": jnp.asarray([step_id], jnp.int32),
+    }
+    ref = np.asarray(a._predict_fn(T)(a.variables, batch))[0]
+
+    # flat-buffer program (the single-obs path)
+    flat = np.zeros(N * (cin + 1) + 10, np.float32)
+    flat[:n * cin] = pc_ft.ravel()
+    flat[N * cin:N * cin + n] = 1.0
+    flat[N * (cin + 1)] = n
+    flat[N * (cin + 1) + 1:N * (cin + 1) + 9] = ee
+    flat[N * (cin + 1) + 9] = step_id
+    txt_dev, txt_mask_dev = a._staged_txt("instr", instr_embed)
+    got = np.asarray(a._predict_fn_flat(cin)(
+        a.variables, jnp.asarray(flat), txt_dev, txt_mask_dev))[0]
+
+    np.testing.assert_array_equal(ref, got)
