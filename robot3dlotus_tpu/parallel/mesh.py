@@ -8,8 +8,14 @@ ICI within a slice, DCN across slices). SyncBatchNorm falls out for free:
 masked BN statistics are global sums over the sharded batch axis.
 
 The mesh accepts an optional 'tp' axis for intra-op sharding of the widest
-matmuls; the 50-100M-param policy does not need it (kept for API
-completeness and the multi-chip dry run).
+matmuls, and an optional 'sp' axis that shards the POINT dimension of the
+cloud tensors (sequence parallelism in transformer terms). The backbone's
+compute is dominated by per-point matmuls (MLPs, CPE) and patch-local
+attention along the serialized order — all of which partition cleanly along
+N — while the global pieces (serialization argsort, pooling segment
+reduce, masked-global BN/pool statistics) lower to XLA collectives under
+GSPMD. Semantics are layout-independent by construction; the dp×sp
+equivalence test and the driver dry run pin that down.
 """
 from __future__ import annotations
 
@@ -20,18 +26,31 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, dp: Optional[int] = None, tp: int = 1) -> Mesh:
+def make_mesh(devices=None, dp: Optional[int] = None, tp: int = 1,
+              sp: int = 1) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"{dp}*{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"{dp}*{sp}*{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
+
+
+def batch_leaf_sharding(mesh: Mesh, key: str, leaf) -> NamedSharding:
+    """Per-leaf batch sharding: point-dimension tensors (pc_fts, pc_mask,
+    pc_labels, pc_robot_mask — (B, N, ...) with the cloud on axis 1) also
+    shard axis 1 over 'sp'; everything else shards the batch axis only."""
+    ndim = getattr(leaf, "ndim", 0)
+    sp = mesh.shape.get("sp", 1)
+    if (sp > 1 and ndim >= 2 and key.startswith("pc_")
+            and leaf.shape[1] % sp == 0):
+        return NamedSharding(mesh, P("dp", "sp"))
+    return NamedSharding(mesh, P("dp") if ndim >= 1 else P())
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -115,7 +134,9 @@ def state_shardings(state, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Host numpy batch -> device arrays sharded on the leading axis."""
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch)
+    """Host numpy batch -> device arrays, batch axis over 'dp' and cloud
+    point axis over 'sp' (batch_leaf_sharding). The train/val steps leave
+    the batch argument's in_sharding unspecified, so jit honors this
+    committed layout instead of forcing a reshard."""
+    return {k: jax.device_put(v, batch_leaf_sharding(mesh, k, v))
+            for k, v in batch.items()}

@@ -105,11 +105,12 @@ def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
     if mesh is not None:
         # State sharding is inherited from the arrays create_train_state
         # placed (replicated for pure DP; Megatron col/row-sharded leaves
-        # when the mesh has a tp axis) — only the batch is constrained here.
-        in_shardings = (None, batch_sharding(mesh), None)
-        out_shardings = (None, None)
-        return jax.jit(step, in_shardings=in_shardings,
-                       out_shardings=out_shardings,
+        # when the mesh has a tp axis). The batch's sharding is inherited
+        # too: shard_batch commits each leaf to its dp(×sp) layout, and an
+        # unspecified in_sharding lets jit honor that committed placement
+        # instead of forcing a dp-only reshard (which would undo the
+        # point-axis sp sharding of the cloud tensors).
+        return jax.jit(step, out_shardings=(None, None),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -127,8 +128,6 @@ def make_val_step(model, loss_fn: Callable, decode_fn: Callable, mesh=None):
             batch, deterministic=True)
         return loss_fn(preds, batch), decode_fn(preds)
 
-    if mesh is not None:
-        return jax.jit(step, in_shardings=(None, batch_sharding(mesh)))
     return jax.jit(step)
 
 
@@ -139,8 +138,6 @@ def make_eval_step(model, loss_fn: Callable, mesh=None):
             batch, deterministic=True)
         return loss_fn(preds, batch)
 
-    if mesh is not None:
-        return jax.jit(step, in_shardings=(None, batch_sharding(mesh)))
     return jax.jit(step)
 
 
