@@ -151,9 +151,14 @@ class Actioner:
         return self._jit_cache[key]
 
     def _staged_txt(self, instr, instr_embed):
-        """Device-staged (txt_embeds (T, D), txt_mask (T,)) per instruction,
-        T padded to the standard buckets."""
-        cached = self._txt_dev_cache.get(instr)
+        """Device-staged (txt_embeds (T, D), txt_mask (T,)) per embedding,
+        T padded to the standard buckets. Keyed by the embedding CONTENT,
+        not the instruction string: in synthetic-store mode the embedding
+        derives from the taskvar, so two taskvars can share an instruction
+        string while needing different embeddings. A bytes key makes the
+        dict compare by equality (no hash-collision aliasing)."""
+        key = instr_embed.tobytes()
+        cached = self._txt_dev_cache.get(key)
         if cached is None:
             T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
             txt = np.zeros((T, instr_embed.shape[-1]), np.float32)
@@ -162,7 +167,7 @@ class Actioner:
             tmask = np.zeros(T, bool)
             tmask[:t] = True
             cached = (jnp.asarray(txt), jnp.asarray(tmask))
-            self._txt_dev_cache[instr] = cached
+            self._txt_dev_cache[key] = cached
         return cached
 
     def _predict_fn_shuffled(self, T):

@@ -104,9 +104,10 @@ class MotionPlannerEngine:
         self.model = build_model(self.config.MODEL)
 
         rng = jax.random.PRNGKey(0)
+        txt_dim = int(self.act_cfg.get("txt_ft_size", 512))
         dummy = self._pad_batch(
             np.zeros((8, self._feat_dim()), np.float32),
-            np.zeros(8, np.int32), np.zeros((4, 512), np.float32),
+            np.zeros(8, np.int32), np.zeros((4, txt_dim), np.float32),
             np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32))
         from ..train.trainer import init_variables
         self.variables = init_variables(self.model, dummy, rng)
@@ -180,7 +181,8 @@ class MotionPlannerEngine:
         return self._jit_cache[key]
 
     def _staged_txt(self, txt_embed):
-        ckey = hash(txt_embed.tobytes())
+        # bytes key, not hash(): dict equality rules out collision aliasing
+        ckey = txt_embed.tobytes()
         cached = self._txt_dev_cache.get(ckey)
         if cached is None:
             T = _bucket(txt_embed.shape[0], TXT_BUCKETS)

@@ -181,13 +181,10 @@ class SubMConv(nn.Module):
             x = x.astype(self.dtype)
             weight = weight.astype(self.dtype)
         if isinstance(nmap, WindowMap):
-            if categorical is not None:
-                cat_idx, cat_table = categorical
-                x = jnp.concatenate(
-                    [x, cat_table[cat_idx.astype(jnp.int32)].astype(x.dtype)],
-                    axis=-1)
-            return subm_conv_windowed(x, nmap, weight, bias,
-                                      interpret=interpret)
+            from ..ops.sparse_conv import materialize_categorical
+            return subm_conv_windowed(
+                materialize_categorical(x, categorical), nmap, weight, bias,
+                interpret=interpret)
         return subm_conv_apply(x, nmap, weight, bias, categorical=categorical)
 
 

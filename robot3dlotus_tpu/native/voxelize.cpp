@@ -88,9 +88,18 @@ long voxelize_core(const float* xyz, long n, float voxel_size,
     for (long i = 0; i < n; ++i) {
         const float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
         bool ok = true;
-        if (bbox)
+        if (bbox) {
+            // NaN compares false on every side, so non-finite points are
+            // cropped here
             ok = x > bbox[0] && x < bbox[1] && y > bbox[2] && y < bbox[3] &&
                  z > bbox[4] && z < bbox[5];
+        } else if (!(std::isfinite(x) && std::isfinite(y) &&
+                     std::isfinite(z))) {
+            // no crop box to drop them: a non-finite coordinate would cast
+            // to an arbitrary int64 in pass 2 and index out of bounds —
+            // fall back to the numpy twin (the pre-dense contract)
+            return -1;
+        }
         if (keep_out) keep_out[i] = ok;
         if (!ok) continue;
         ++nk;
@@ -110,13 +119,20 @@ long voxelize_core(const float* xyz, long n, float voxel_size,
                   gzm = grid1(mz, oz);
     if ((gxm | gym | gzm) >> 21) return -1;  // caller falls back to numpy
     const int64_t ny = gym + 1, nz = gzm + 1;
-    const int64_t cells = (gxm + 1) * ny * nz;
+    // overflow-safe dense-budget check: each factor is <= 2^21 and the
+    // running product is rechecked before it can exceed ~2^43, so the
+    // naive (gxm+1)*ny*nz (which can wrap past int64 for extents that
+    // individually pass the 21-bit check) is never formed when too large
+    int64_t cells = gxm + 1;
+    bool dense_fits = cells <= kDenseMaxCells;
+    if (dense_fits) { cells *= ny; dense_fits = cells <= kDenseMaxCells; }
+    if (dense_fits) { cells *= nz; dense_fits = cells <= kDenseMaxCells; }
 
     Payload pay;
     pay.reserve(static_cast<size_t>(nk));
     long m = 0;
 
-    if (cells <= kDenseMaxCells && nk < kDenseMaxSlots) {
+    if (dense_fits && nk < kDenseMaxSlots) {
         // ---- dense grid with epoch stamps ----
         DenseScratch& ds = g_dense;
         if (static_cast<int64_t>(ds.stamp.size()) < cells) {

@@ -158,6 +158,18 @@ def _vmap_searchsorted(sorted_rows, queries):
 _SMALLC_INTERPRET = False
 
 
+def materialize_categorical(feat, categorical):
+    """Concatenate the embedded categorical channels onto feat — the
+    fallback for conv paths that don't split the gather (the smallc kernel
+    gathers the raw index instead; see subm_conv_apply)."""
+    if categorical is None:
+        return feat
+    cat_idx, cat_table = categorical
+    return jnp.concatenate(
+        [feat, cat_table[cat_idx.astype(jnp.int32)].astype(feat.dtype)],
+        axis=-1)
+
+
 def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
                     streaming: bool | None = None, categorical=None):
     """feat: (B, N, Cin); weight: (K, Cin + E, Cout); bias: (Cout,) or None.
@@ -196,10 +208,7 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
     use_smallc = streaming and smallc_width <= 32
     if not use_smallc and categorical is not None:
         # fallback paths consume the materialized concat
-        cat_idx, cat_table = categorical
-        feat = jnp.concatenate(
-            [feat, cat_table[cat_idx.astype(jnp.int32)].astype(feat.dtype)],
-            axis=-1)
+        feat = materialize_categorical(feat, categorical)
         categorical = None
     if use_smallc:
         # tiny-Cin stencils (the k=5 stem: Cin=7 policy, 7(+1 label channel)
@@ -234,13 +243,8 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
                              preferred_element_type=jnp.float32)
             streaming = False
         else:
-            if categorical is not None:
-                cat_idx, cat_table = categorical
-                feat = jnp.concatenate(
-                    [feat,
-                     cat_table[cat_idx.astype(jnp.int32)].astype(feat.dtype)],
-                    axis=-1)
-            out = _subm_conv_streaming(feat, nmap, weight)
+            out = _subm_conv_streaming(
+                materialize_categorical(feat, categorical), nmap, weight)
     elif streaming:
         out = _subm_conv_streaming(feat, nmap, weight)
     else:

@@ -173,8 +173,7 @@ def run_training(config, spec: TaskSpec):
                 infinite=False)
 
         val_fn = make_val_step(
-            model, loss_fn, lambda preds: spec.decode_fn(preds, act_cfg),
-            mesh=mesh)
+            model, loss_fn, lambda preds: spec.decode_fn(preds, act_cfg))
     best_val_metric, best_val_step = float("inf"), -1
 
     def validate(at_step):

@@ -115,11 +115,13 @@ def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_val_step(model, loss_fn: Callable, decode_fn: Callable, mesh=None):
+def make_val_step(model, loss_fn: Callable, decode_fn: Callable):
     """One jitted program: eval forward -> (losses, decoded actions).
 
     Mirrors reference validate() (train_simple_policy.py:290-319) which needs
-    both the loss dict and the decoded action per batch.
+    both the loss dict and the decoded action per batch. Batch placement
+    comes from the caller's shard_batch/_to_device; jit honors the
+    committed layout (no mesh parameter — see make_train_step).
     """
 
     def step(state: TrainState, batch):
@@ -131,7 +133,7 @@ def make_val_step(model, loss_fn: Callable, decode_fn: Callable, mesh=None):
     return jax.jit(step)
 
 
-def make_eval_step(model, loss_fn: Callable, mesh=None):
+def make_eval_step(model, loss_fn: Callable):
     def step(state: TrainState, batch):
         preds = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

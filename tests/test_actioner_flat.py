@@ -85,3 +85,38 @@ def test_flat_predict_matches_dict_batch(tmp_path):
         a.variables, jnp.asarray(flat), txt_dev, txt_mask_dev))[0]
 
     np.testing.assert_array_equal(ref, got)
+
+
+def test_mp_flat_predict_matches_dict_batch(tmp_path):
+    """Same lock for the motion-planner engine's flat packing (the layout
+    has an extra labels lane and is hand-duplicated between predict() and
+    the jitted unpacker)."""
+    from robot3dlotus_tpu.eval.robot_pipeline import MotionPlannerEngine
+    from robot3dlotus_tpu.models.motion_planner import decode_mp_actions
+    import jax
+    from test_robot_pipeline import _write_mp_config
+
+    eng = MotionPlannerEngine(_write_mp_config(tmp_path))
+    rng = np.random.RandomState(1)
+    N = eng.num_points
+    n = N - 9
+    cin = eng._feat_dim()
+    pc_ft = rng.uniform(-0.4, 0.4, (n, cin)).astype(np.float32)
+    labels = rng.randint(0, 4, n).astype(np.int32)
+    txt = rng.randn(2, 512).astype(np.float32)
+    ee = np.asarray([0.1, -0.2, 0.9, 0, 0, 0, 1, 1], np.float32)
+
+    # dict-batch reference program over _pad_batch
+    batch = eng._pad_batch(pc_ft, labels, txt, ee)
+
+    @jax.jit
+    def run_dict(variables, batch):
+        preds = eng.model.apply(variables, batch, deterministic=True)
+        return decode_mp_actions(preds, eng.act_cfg)
+
+    ref = np.array(run_dict(eng.variables, batch))[0]
+    ref[:, 7:] = 1.0 / (1.0 + np.exp(-ref[:, 7:]))
+
+    got = eng.predict(pc_ft, labels, txt, ee, pc_centroid=np.zeros(3),
+                      pc_radius=1.0, table_height=-10.0)
+    np.testing.assert_array_equal(ref, got)

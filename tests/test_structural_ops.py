@@ -311,3 +311,30 @@ def test_subm_conv_categorical_split_matches_concat():
     finally:
         sc._SMALLC_INTERPRET = False
     np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-5)
+
+
+def test_native_voxelizer_nonfinite_points():
+    """A NaN coordinate must never reach the dense-grid binning (it would
+    cast to an arbitrary int64 cell index): without a crop box the native
+    path declines (numpy-twin fallback), with a crop box the point is
+    dropped by the NaN-false comparisons (native/voxelize.cpp pass 1)."""
+    from robot3dlotus_tpu.native import (
+        get_lib, voxelize_trace_native, crop_voxelize_trace_native,
+    )
+    if get_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(0)
+    xyz = rng.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    bad = xyz.copy()
+    bad[17, 1] = np.nan
+
+    assert voxelize_trace_native(xyz, 0.01) is not None
+    assert voxelize_trace_native(bad, 0.01) is None
+
+    ws = {"X_BBOX": (-0.5, 0.7), "Y_BBOX": (-0.6, 0.6),
+          "Z_BBOX": (-0.8, 2.0), "TABLE_HEIGHT": -0.7}
+    out = crop_voxelize_trace_native(bad, 0.01, ws, rm_table=True)
+    assert out is not None
+    _, _, keep = out
+    assert not keep[17]
