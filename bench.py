@@ -283,7 +283,27 @@ def probe_device_matmul(repeats=3):
     return 2 * n ** 3 / best / 1e12
 
 
+def _backend_initializes(timeout_s=600):
+    """Probe backend init in a subprocess with a hard timeout. On a
+    tunneled device a wedged relay makes make_c_api_client retry-sleep
+    FOREVER (observed on the dev rig); a bench that hangs is worse than a
+    bench that fails with a diagnosis."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_initializes():
+        print("bench: FATAL — jax backend init hung/failed (device tunnel "
+              "down?); refusing to hang forever", file=sys.stderr)
+        sys.exit(3)
     import jax
     # persistent compile cache: the release-config train step is a large XLA
     # program; cache it across processes so repeat runs start in seconds
