@@ -146,18 +146,20 @@ def bench_latency(num_calls=None, warmup=5):
             raw_rgb = np.zeros((cap, 3), np.float32)
             raw_xyz[:len(xyz)] = xyz
             raw_rgb[:len(rgb)] = rgb
-            valid = np.zeros(cap, bool)
-            valid[:len(xyz)] = True
             obb = obb_params_np(box)
+            obb_vec = np.concatenate([
+                np.ascontiguousarray(obb["obb_rot"], np.float32).ravel(),
+                obb["obb_off"], obb["obb_half"]]).astype(np.float32)
+            step_ee_key = np.concatenate([
+                [np.float32(t)],
+                np.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], np.float32),
+                [np.float32(step % (1 << 22))]]).astype(np.float32)
             t1 = time.perf_counter()
-            action = np.asarray(fused(
+            action, _count, _ovf = fused(
                 variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
-                jnp.asarray(valid), jnp.asarray(obb["obb_rot"]),
-                jnp.asarray(obb["obb_off"]), jnp.asarray(obb["obb_half"]),
-                jnp.asarray(txt[0]), jnp.ones(T, bool),
-                jnp.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], jnp.float32),
-                np.int32(t), jax.random.fold_in(
-                    jax.random.PRNGKey(1), step)))
+                np.int32(len(xyz)), jnp.asarray(obb_vec), txt_dev[0],
+                txt_mask_dev[0], jnp.asarray(step_ee_key))
+            action = np.asarray(action)
             t2 = time.perf_counter()
             return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3
         from robot3dlotus_tpu.native import crop_voxelize_trace_native

@@ -305,21 +305,25 @@ class Actioner:
         return self._obs_to_action
 
     def _device_predict(self, xyz, rgb, ee_pose, arm_links_info,
-                        instr_embed, step_id):
-        import jax
+                        instr_embed, instr, step_id):
         from ..ops.eval_preprocess import obb_params_np
         from ..train.datasets.collate import _bucket
 
         xyz = xyz.reshape(-1, 3).astype(np.float32)
         rgb = rgb.reshape(-1, 3).astype(np.float32)
         cap = _bucket(len(xyz), self._RAW_BUCKETS)
+        if len(xyz) > cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "raw cloud (%d points) exceeds the largest fused-path "
+                "bucket (%d); trailing points (cameras) are DROPPED — "
+                "use the host preprocessing path for this camera setup",
+                len(xyz), cap)
         raw_xyz = np.zeros((cap, 3), np.float32)
         raw_rgb = np.zeros((cap, 3), np.float32)
         n = min(len(xyz), cap)
         raw_xyz[:n] = xyz[:n]
         raw_rgb[:n] = rgb[:n]
-        valid = np.zeros(cap, bool)
-        valid[:n] = True
 
         if str(self.data_cfg.get("rm_robot", "none")).startswith("box"):
             box = RobotBox(
@@ -327,29 +331,39 @@ class Actioner:
                 keep_gripper=self.data_cfg["rm_robot"] == "box_keep_gripper",
                 env_name="real" if self.real_robot else "rlbench")
             obb = obb_params_np(box)
-        else:  # static placeholder; the jitted branch never reads it
+        else:  # zero-size half extents: the inside test never fires
             obb = {"obb_rot": np.zeros((3, 3), np.float32),
                    "obb_off": np.zeros(3, np.float32),
                    "obb_half": np.zeros(3, np.float32)}
+        obb_vec = np.concatenate([
+            np.ascontiguousarray(obb["obb_rot"], np.float32).ravel(),
+            obb["obb_off"], obb["obb_half"]]).astype(np.float32)
 
-        T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
-        txt = np.zeros((T, instr_embed.shape[-1]), np.float32)
-        t = min(instr_embed.shape[0], T)
-        txt[:t] = instr_embed[:t]
-        txt_mask = np.zeros(T, bool)
-        txt_mask[:t] = True
+        txt_dev, txt_mask_dev = self._staged_txt(instr, instr_embed)
 
         self._step_counter += 1
-        key = jax.random.fold_in(jax.random.PRNGKey(20240817),
-                                 self._step_counter)
+        step_ee_key = np.concatenate([
+            [np.float32(step_id)], np.asarray(ee_pose, np.float32),
+            [np.float32(self._step_counter % (1 << 22))]]).astype(np.float32)
         fn = self._fused_fn()
-        action = np.array(fn(
+        action, count, vox_overflow = fn(
             self.variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
-            jnp.asarray(valid), jnp.asarray(obb["obb_rot"]),
-            jnp.asarray(obb["obb_off"]), jnp.asarray(obb["obb_half"]),
-            jnp.asarray(txt), jnp.asarray(txt_mask),
-            jnp.asarray(np.asarray(ee_pose, np.float32)),
-            np.int32(step_id), key))
+            np.int32(n), jnp.asarray(obb_vec), txt_dev, txt_mask_dev,
+            jnp.asarray(step_ee_key))
+        action = np.array(action)
+        # host path's empty/tiny-cloud guard (predict below): a cloud the
+        # crop/robot-removal emptied must yield the safe zero action, not
+        # a forward over pure padding
+        if int(count) <= 10:
+            action = np.zeros(8, np.float32)
+            action[2] = self.TABLE_HEIGHT + 0.005
+            return action
+        if int(vox_overflow) > 0:
+            import logging
+            logging.getLogger(__name__).warning(
+                "fused voxelizer dropped %d occupied voxels past capacity "
+                "(a contiguous workspace corner) — raise "
+                "ROBOT3DLOTUS_VOX_CAPACITY", int(vox_overflow))
         action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
         return action
 
@@ -367,7 +381,8 @@ class Actioner:
         if self.device_preprocess:
             action = self._device_predict(
                 xyz, rgb, np.asarray(obs["gripper"], np.float32),
-                obs.get("arm_links_info"), instr_embed, step_id)
+                obs.get("arm_links_info"), instr_embed, instructions[0],
+                step_id)
             out = {"action": action}
             if self.save_obs_outs_dir:
                 np.save(os.path.join(

@@ -139,16 +139,26 @@ class HTTPActioner:
         import random
         taskvar = f"{task_str}+{variation}"
         # one instruction per episode, reused across its steps (the reference
-        # challenge client picks once per episode, challenges/client.py:83-96)
-        key = (taskvar, episode_id)
-        if key not in self._episode_instr:
-            self._episode_instr.clear()  # only the live episode is cached
-            self._episode_instr[key] = (
-                random.choice(instructions) if instructions else None)
+        # challenge client picks once per episode, challenges/client.py:83-96).
+        # Without an episode_id there is no episode boundary to re-roll on —
+        # be deterministic (instructions[0], the reference Actioner default)
+        # instead of caching one random choice forever. The cache is bounded
+        # (not single-slot) so interleaved episodes don't thrash it back to
+        # per-step re-rolls.
+        if episode_id is None:
+            instr = instructions[0] if instructions else None
+        else:
+            key = (taskvar, episode_id)
+            if key not in self._episode_instr:
+                if len(self._episode_instr) >= 32:
+                    self._episode_instr.pop(next(iter(self._episode_instr)))
+                self._episode_instr[key] = (
+                    random.choice(instructions) if instructions else None)
+            instr = self._episode_instr[key]
         out = self.client.predict(
             taskvar=taskvar, episode_id=episode_id,
             step_id=step_id,
-            instruction=self._episode_instr[key],
+            instruction=instr,
             obs_state_dict=obs_state_dict)
         if "error" in out:
             raise RuntimeError(f"server error: {out['error']}")

@@ -299,6 +299,14 @@ class SerializedAttention(nn.Module):
                 patch_attention, patch_attention_dropout,
             )
             interp = self.attn_impl == "pallas_interpret"
+            if self.upcast_attention:
+                # the reference forbids upcast_attention with flash
+                # (model.py:370-371); like flash, the Pallas kernel
+                # accumulates in fp32 internally, so feed it the compute
+                # dtype (the fp32 cast above still makes the qk norms
+                # fp32-exact) instead of doubling in-kernel bandwidth
+                q = q.astype(v.dtype)
+                k = k.astype(v.dtype)
             # (B, NP, P, H, Dh) -> (B*NP, H, P, Dh)
             qg = q.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)
             kg = k.transpose(0, 1, 3, 2, 4).reshape(B * NP, H, P, Dh)

@@ -265,9 +265,14 @@ class PointTransformerV3TPU(nn.Module):
                                           len(self.orders))
             codes = codes[perm]
 
-        # encoder-side adaptive-norm gate (reference model.py:954,975:
-        # pdnorm_only_decoder keeps the stem + encoder poolings vanilla)
-        enc_adaptive = self.norm_adaptive and not self.pdnorm_only_decoder
+        # pdnorm_only_decoder means two DIFFERENT things in the reference:
+        #  * plain/AdaNorm backbone (model.py:954,975,996): stem + encoder
+        #    pooling + encoder block norms go vanilla (except last-stage ln)
+        #  * CA backbone (model_ca.py:296): norms are untouched; instead the
+        #    encoder CROSS-ATTENTION blocks are omitted except in the last
+        #    stage ("condition only the decoder side")
+        only_dec_norms = self.pdnorm_only_decoder and not self.use_cross_attn
+        enc_adaptive = self.norm_adaptive and not only_dec_norms
 
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
         dt = self._dtype
@@ -318,9 +323,10 @@ class PointTransformerV3TPU(nn.Module):
                 conv_far_dropped = conv_far_dropped + jnp.sum(
                     aux["cpe_nmap"].far_dropped)
             # reference model.py:996: under pdnorm_only_decoder all encoder
-            # stages except the last use vanilla block norms
+            # stages except the last use vanilla block norms (plain/AdaNorm
+            # variant only — see only_dec_norms above)
             blk_adaptive = self.norm_adaptive and (
-                not self.pdnorm_only_decoder or s == num_stages - 1)
+                not only_dec_norms or s == num_stages - 1)
             for i in range(self.enc_depths[s]):
                 blk_dp = enc_dp[sum(self.enc_depths[:s]) + i]
                 cur["feat"] = Blk(
@@ -339,7 +345,10 @@ class PointTransformerV3TPU(nn.Module):
                     attn_impl=self.attn_impl, conv_interpret=conv_interp,
                     name=f"enc{s}_block{i}",
                 )(cur["feat"], aux, context_vec, deterministic, None)
-                if self.use_cross_attn:
+                # CA variant of pdnorm_only_decoder (model_ca.py:296):
+                # encoder CABlocks exist only in the last stage
+                if self.use_cross_attn and (
+                        not self.pdnorm_only_decoder or s == num_stages - 1):
                     cur["feat"] = CABlk(
                         self.enc_channels[s], self.enc_num_head[s],
                         mlp_ratio=self.mlp_ratio, qk_norm=self.qk_norm,
@@ -429,8 +438,11 @@ class PointTransformerV3TPU(nn.Module):
 
         new_feat = SerializedPoolingTPU(
             self.enc_channels[s],
+            # vanilla-encoder-norm clause applies to the plain/AdaNorm
+            # variant only (model.py:975 vs model_ca.py — see __call__)
             norm_adaptive=(self.norm_adaptive
-                           and not self.pdnorm_only_decoder),
+                           and not (self.pdnorm_only_decoder
+                                    and not self.use_cross_attn)),
             dtype=self._dtype, name=f"enc{s}_down",
         )(feat_sorted, maps, child_cap, maps.child_mask,
           context_vec=context_vec, deterministic=deterministic)

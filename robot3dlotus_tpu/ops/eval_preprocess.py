@@ -67,7 +67,7 @@ def device_preprocess(
     if rm_table:
         m = m & (xyz_raw[:, 2] > ws["TABLE_HEIGHT"])
 
-    vox_xyz, vmask, first = voxelize_fixed_jnp(
+    vox_xyz, vmask, first, vox_overflow = voxelize_fixed_jnp(
         xyz_raw, m, voxel_size, vox_capacity)
     vox_rgb = jnp.take(rgb_raw, first, axis=0)
 
@@ -114,17 +114,31 @@ def device_preprocess(
         feats.append(height[:, None])
     pc_ft = jnp.concatenate(feats, axis=1)
     pc_ft = jnp.where(mask[:, None], pc_ft, 0.0)
-    return pc_ft, mask, count, centroid, radius, ee
+    return pc_ft, mask, count, centroid, radius, ee, vox_overflow
 
 
 def make_obs_to_action(model, variables_treedef_hint, act_cfg, data_cfg,
                        workspace, num_points, vox_capacity=8192):
     """Build the fused obs->action jitted callable.
 
-    Returns fn(variables, xyz_raw, rgb_raw, raw_valid, obb..., txt_embeds,
-    txt_mask, ee_pose, step_id, sample_key) -> (8,) FINAL action: position
-    un-normalized + table-clamped, quaternion, raw open logit (the caller
-    thresholds; reference eval_simple_policy.py:339-341).
+    Returns fn(variables, xyz_raw (R,3), rgb_raw (R,3), n_raw (),
+    obb_vec (15K,), txt_embeds, txt_mask, step_ee_key (10,))
+    -> (action (8,), count (), vox_overflow ()).
+
+    Per-call inputs ride FEW transfers (each one pays link latency —
+    ~1 ms RPC on a tunneled device, ~20 us over PCIe): the raw validity
+    mask is derived on device from the scalar n_raw, the K robot link
+    boxes arrive as one packed vector (obb_rot.ravel() | obb_off |
+    obb_half, K = len//15), and step_ee_key packs [step_id, ee_pose(8),
+    key_seed]. Text embeddings should be device-staged by the caller
+    (Actioner._staged_txt).
+
+    The action is FINAL: position un-normalized + table-clamped,
+    quaternion, raw open logit (the caller thresholds; reference
+    eval_simple_policy.py:339-341). `count` lets the caller apply the host
+    path's empty/tiny-cloud guard (actioner.py predict), and a nonzero
+    `vox_overflow` means a spatially contiguous region was dropped by the
+    fixed-capacity voxelizer — surface it, don't ignore it.
     """
     from ..models.simple_policy import decode_actions
 
@@ -139,25 +153,35 @@ def make_obs_to_action(model, variables_treedef_hint, act_cfg, data_cfg,
               float(v)) for k, v in workspace.items()}
 
     @jax.jit
-    def fn(variables, xyz_raw, rgb_raw, raw_valid, obb_rot, obb_off,
-           obb_half, txt_embeds, txt_mask, ee_pose, step_id, sample_key):
-        pc_ft, mask, count, centroid, radius, ee = device_preprocess(
-            xyz_raw, rgb_raw, raw_valid, obb_rot, obb_off, obb_half,
-            ee_pose, sample_key,
-            workspace=ws, num_points=num_points, voxel_size=voxel_size,
-            vox_capacity=vox_capacity, rm_table=rm_table, rm_robot=rm_robot,
-            xyz_shift=xyz_shift, xyz_norm=xyz_norm, use_height=use_height)
+    def fn(variables, xyz_raw, rgb_raw, n_raw, obb_vec, txt_embeds,
+           txt_mask, step_ee_key):
+        raw_valid = jnp.arange(xyz_raw.shape[0]) < n_raw
+        k3 = obb_vec.shape[0] // 15 * 3
+        obb_rot = obb_vec[:3 * k3].reshape(3, k3)
+        obb_off = obb_vec[3 * k3:4 * k3]
+        obb_half = obb_vec[4 * k3:5 * k3]
+        step_id = step_ee_key[0].astype(jnp.int32)
+        ee_pose = step_ee_key[1:9]
+        sample_key = jax.random.PRNGKey(step_ee_key[9].astype(jnp.uint32))
+        pc_ft, mask, count, centroid, radius, ee, vox_overflow = \
+            device_preprocess(
+                xyz_raw, rgb_raw, raw_valid, obb_rot, obb_off, obb_half,
+                ee_pose, sample_key,
+                workspace=ws, num_points=num_points, voxel_size=voxel_size,
+                vox_capacity=vox_capacity, rm_table=rm_table,
+                rm_robot=rm_robot, xyz_shift=xyz_shift, xyz_norm=xyz_norm,
+                use_height=use_height)
         batch = {
             "pc_fts": pc_ft[None], "pc_mask": mask[None],
             "pc_counts": count[None],
             "txt_embeds": txt_embeds[None], "txt_mask": txt_mask[None],
             "ee_poses": ee[None],
-            "step_ids": jnp.asarray([step_id], jnp.int32),
+            "step_ids": step_id[None],
         }
         preds = model.apply(variables, batch, deterministic=True)
         action = decode_actions(preds, act_cfg)[0]         # (8,)
         pos = action[:3] * radius + centroid
         pos = pos.at[2].set(jnp.maximum(pos[2], table_h + 0.005))
-        return jnp.concatenate([pos, action[3:]])
+        return jnp.concatenate([pos, action[3:]]), count, vox_overflow
 
     return fn

@@ -59,8 +59,12 @@ def workspace_mask_np(xyz, workspace, rm_table=True):
 
 def voxelize_fixed_jnp(xyz, mask, voxel_size, capacity, depth=10):
     """Static-shape device voxelization: returns (vox_xyz (C,3), vox_mask (C,),
-    first_idx (C,)) for <= `capacity` occupied voxels (sorted by z-order of
-    the grid key; overflow dropped). Suitable for fused on-device eval
+    first_idx (C,), overflow ()) for <= `capacity` occupied voxels (sorted
+    by z-order of the grid key). `overflow` counts occupied voxels BEYOND
+    capacity that were dropped — the dropped set is the largest z-codes,
+    i.e. a spatially contiguous corner of the workspace, so callers must
+    surface a nonzero overflow like pool_overflow/conv_far_dropped rather
+    than degrade silently. Suitable for fused on-device eval
     preprocessing."""
     from .serialization import z_order_encode
 
@@ -89,4 +93,5 @@ def voxelize_fixed_jnp(xyz, mask, voxel_size, capacity, depth=10):
         order.astype(jnp.int32))
     nseg = jnp.sum(head.astype(jnp.int32))
     vmask = jnp.arange(capacity) < jnp.minimum(nseg, capacity)
-    return means, vmask, jnp.clip(first[:capacity], 0, n - 1)
+    overflow = jnp.maximum(nseg - capacity, 0)
+    return means, vmask, jnp.clip(first[:capacity], 0, n - 1), overflow

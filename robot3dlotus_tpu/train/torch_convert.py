@@ -157,22 +157,28 @@ def build_name_map(model_cfg) -> Dict[str, Tuple[str, str]]:
     bp = "ptv3_model"
     m.update(_conv(f"{bp}/embedding_stem_conv", f"{bp}.embedding.stem.conv",
                    bias=False))
+    # pdnorm_only_decoder is variant-specific (see models/ptv3.py): the
+    # plain/AdaNorm backbone turns encoder norms vanilla (model.py:954-996)
+    # while the CA backbone keeps norms adaptive but omits encoder CABlocks
+    # except in the last stage (model_ca.py:296)
+    only_dec_norms = only_dec and not use_ca
     m.update(_norm(f"{bp}/embedding_norm", f"{bp}.embedding.stem.norm",
-                   "bn", adaptive and not only_dec))
+                   "bn", adaptive and not only_dec_norms))
     for s in range(num_stages):
         if s > 0:
             m.update(_dense(f"{bp}/enc{s}_down/proj",
                             f"{bp}.enc.enc{s}.down.proj"))
             m.update(_norm(f"{bp}/enc{s}_down/norm",
                            f"{bp}.enc.enc{s}.down.norm.0", "bn",
-                           adaptive and not only_dec))
-        blk_adaptive = adaptive and (not only_dec or s == num_stages - 1)
+                           adaptive and not only_dec_norms))
+        blk_adaptive = adaptive and (
+            not only_dec_norms or s == num_stages - 1)
         for i in range(enc_depths[s]):
             m.update(_block_map(f"{bp}/enc{s}_block{i}",
                                 f"{bp}.enc.enc{s}.block{i}", qk_norm,
                                 blk_adaptive, add_coords, enable_rpe,
                                 cosine))
-            if use_ca:
+            if use_ca and (not only_dec or s == num_stages - 1):
                 m.update(_ca_block_map(f"{bp}/enc{s}_cablock{i}",
                                        f"{bp}.enc.enc{s}.ca_block{i}",
                                        qk_norm))

@@ -13,18 +13,7 @@ runs (tests, dryrun children) compile in-memory each process.
 """
 from __future__ import annotations
 
-import hashlib
 import os
-
-
-def _host_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        import platform
-        flags = platform.processor() or platform.machine()
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
 
 
 def jax_cache_dir(base: str | None = None, cpu: bool | None = None):

@@ -56,7 +56,7 @@ def test_device_preprocess_matches_host_no_subsample():
     obb = obb_params_np(box)
     N = len(host_xyz) + 64  # no subsampling: capacity exceeds survivors
     ee = np.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], np.float32)
-    pc_ft, mask, count, centroid, radius, ee_n = device_preprocess(
+    pc_ft, mask, count, centroid, radius, ee_n, ovf = device_preprocess(
         jnp.asarray(raw_xyz), jnp.asarray(raw_rgb), jnp.asarray(valid),
         jnp.asarray(obb["obb_rot"]), jnp.asarray(obb["obb_off"]),
         jnp.asarray(obb["obb_half"]), jnp.asarray(ee),
@@ -102,7 +102,7 @@ def test_device_preprocess_subsamples_to_capacity():
     obb = obb_params_np(box)
     ee = np.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], np.float32)
 
-    pc_ft, mask, count, centroid, radius, _ = device_preprocess(
+    pc_ft, mask, count, centroid, radius, _, ovf = device_preprocess(
         jnp.asarray(raw_xyz), jnp.asarray(raw_rgb), jnp.asarray(valid),
         jnp.asarray(obb["obb_rot"]), jnp.asarray(obb["obb_off"]),
         jnp.asarray(obb["obb_half"]), jnp.asarray(ee),
@@ -196,12 +196,18 @@ def test_fused_obs_to_action_matches_host_pipeline():
     valid[:len(xyz)] = True
     box = RobotBox(arm, keep_gripper=True)
     obb = obb_params_np(box)
-    dev_action = np.asarray(fused(
+    obb_vec = np.concatenate([
+        np.ascontiguousarray(obb["obb_rot"], np.float32).ravel(),
+        obb["obb_off"], obb["obb_half"]]).astype(np.float32)
+    step_ee_key = np.concatenate(
+        [[np.float32(0)], ee, [np.float32(3)]]).astype(np.float32)
+    dev_action, dev_count, dev_ovf = fused(
         variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
-        jnp.asarray(valid), jnp.asarray(obb["obb_rot"]),
-        jnp.asarray(obb["obb_off"]), jnp.asarray(obb["obb_half"]),
-        jnp.asarray(txt), jnp.ones(T, bool), jnp.asarray(ee),
-        np.int32(0), jax.random.PRNGKey(3)))
+        np.int32(len(xyz)), jnp.asarray(obb_vec), jnp.asarray(txt),
+        jnp.ones(T, bool), jnp.asarray(step_ee_key))
+    dev_action = np.asarray(dev_action)
+    assert int(dev_count) == len(host_xyz)
+    assert int(dev_ovf) == 0
 
     np.testing.assert_allclose(dev_action[:3], host_action[:3], atol=2e-4,
                                err_msg="position")

@@ -245,16 +245,25 @@ def test_backbone_forward_parity_cosine_only_decoder():
     _compare_final(outs[-1], ref_outs[-1], clouds, atol=3e-5)
 
 
-def test_backbone_forward_parity_ca():
+import pytest
+
+
+@pytest.mark.parametrize("only_dec", [False, True])
+def test_backbone_forward_parity_ca(only_dec):
     """CA variant: text cross-attention after every block
-    (reference model_ca.py:155-412, masked-einsum fallback path)."""
+    (reference model_ca.py:155-412, masked-einsum fallback path).
+    only_dec=True covers the CA meaning of pdnorm_only_decoder: encoder
+    CABlocks omitted except in the last stage, norms untouched
+    (model_ca.py:296) — different from the plain variant's vanilla-norm
+    semantics."""
     _, ref_model_ca = shims.import_reference_model()
     torch.manual_seed(1)
     # add_coords_in_attn='none' matches the release configs
     # (simple_policy_ptv3.yaml:129); the class default (False) would create
     # dead coords_proj params absent from real checkpoints
     ref = _ref_backbone(ref_model_ca.PointTransformerV3CA, ctx_channels=24,
-                        add_coords_in_attn="none")
+                        add_coords_in_attn="none",
+                        pdnorm_only_decoder=only_dec)
     clouds, feats = _build_clouds(seed=1)
     rng_np = np.random.RandomState(7)
     ctx_lens = [3, 5]
@@ -266,7 +275,7 @@ def test_backbone_forward_parity_ca():
     with torch.no_grad():
         ref_outs = ref(batch, return_dec_layers=True)
 
-    cfg = dict(CFG, use_cross_attn=True)
+    cfg = dict(CFG, use_cross_attn=True, pdnorm_only_decoder=only_dec)
     my_model = PointTransformerV3TPU(**cfg)
     cap = 256
     coord, feat, mask, counts = _to_tpu_batch(clouds, feats, cap)
@@ -279,7 +288,10 @@ def test_backbone_forward_parity_ca():
     ctx, ctx_mask = jnp.asarray(ctx), jnp.asarray(ctx_mask)
 
     rng = jax.random.PRNGKey(0)
-    model_cfg = dict(MODEL_CFG, model_class="SimplePolicyPTV3CA")
+    model_cfg = dict(
+        MODEL_CFG, model_class="SimplePolicyPTV3CA",
+        ptv3_config=dict(MODEL_CFG["ptv3_config"],
+                         pdnorm_only_decoder=only_dec))
     sample_args = (coord, feat, mask, counts)
     sd = {f"ptv3_model.{k}": v for k, v in ref.state_dict().items()}
     params_tree, bstats_tree, missing, unexpected = torch_to_flax(
@@ -302,6 +314,16 @@ def test_backbone_forward_parity_ca():
 
     _merge(variables["params"], params_tree.get("ptv3_model", {}))
     _merge(variables["batch_stats"], bstats_tree.get("ptv3_model", {}))
+
+    # structural check (forward parity alone can't see it: a zero-weight
+    # CABlock is an identity residual): under only_dec the encoder CA
+    # blocks exist ONLY in the last stage, matching model_ca.py:296
+    p = variables["params"]
+    last = len(CFG["enc_depths"]) - 1
+    for s in range(last):
+        assert any(k == f"enc{s}_cablock0" for k in p) == (not only_dec), \
+            (s, sorted(k for k in p if "cablock" in k))
+    assert f"enc{last}_cablock0" in p
 
     outs = my_model.apply(variables, coord, feat, mask, counts,
                           context=ctx, context_mask=ctx_mask,
