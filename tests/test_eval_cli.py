@@ -182,3 +182,48 @@ def test_http_client_closed_loop(tmp_path):
         assert rows == [rec]
     finally:
         server.shutdown()
+
+
+def test_http_actioner_instruction_per_episode():
+    """One instruction per episode, reused across its steps (reference
+    challenge client behavior); deterministic instructions[0] when no
+    episode boundary exists; interleaved episodes don't thrash the cache."""
+    from robot3dlotus_tpu.eval.serving import HTTPActioner
+
+    class FakeClient:
+        def __init__(self):
+            self.calls = []
+
+        def predict(self, **kw):
+            self.calls.append(kw)
+            return {"action": [0.0] * 8}
+
+    client = FakeClient()
+    a = HTTPActioner(client)
+    instrs = [f"instr{i}" for i in range(50)]
+
+    # steps of one episode share the instruction
+    for step in range(4):
+        a.predict(task_str="t", variation=0, step_id=step,
+                  obs_state_dict={}, episode_id=7, instructions=instrs)
+    ep7 = {c["instruction"] for c in client.calls}
+    assert len(ep7) == 1
+
+    # interleaved episodes keep their own instruction (bounded dict, not a
+    # single slot that clears on every switch)
+    client.calls.clear()
+    for step in range(3):
+        for ep in (1, 2):
+            a.predict(task_str="t", variation=0, step_id=step,
+                      obs_state_dict={}, episode_id=ep, instructions=instrs)
+    by_ep = {}
+    for c in client.calls:
+        by_ep.setdefault(c["episode_id"], set()).add(c["instruction"])
+    assert all(len(v) == 1 for v in by_ep.values()), by_ep
+
+    # no episode_id: deterministic first instruction on every call
+    client.calls.clear()
+    for step in range(3):
+        a.predict(task_str="t", variation=1, step_id=step,
+                  obs_state_dict={}, episode_id=None, instructions=instrs)
+    assert {c["instruction"] for c in client.calls} == {"instr0"}
