@@ -149,6 +149,12 @@ class HTTPActioner:
             instr = instructions[0] if instructions else None
         else:
             key = (taskvar, episode_id)
+            # step 0 is an episode reset: re-roll even on a cache hit, so a
+            # reused (taskvar, episode_id) — e.g. the same demo key across two
+            # evaluate() runs with one long-lived actioner — draws a fresh
+            # instruction like the reference client does at every reset
+            if step_id == 0:
+                self._episode_instr.pop(key, None)
             if key not in self._episode_instr:
                 if len(self._episode_instr) >= 32:
                     self._episode_instr.pop(next(iter(self._episode_instr)))

@@ -220,6 +220,28 @@ def test_http_actioner_instruction_per_episode():
     for c in client.calls:
         by_ep.setdefault(c["episode_id"], set()).add(c["instruction"])
     assert all(len(v) == 1 for v in by_ep.values()), by_ep
+    # ...and the cache keys them independently (a regression to a
+    # taskvar-only or single-slot cache would still pass the set check)
+    assert {("t+0", 1), ("t+0", 2)} <= set(a._episode_instr)
+
+    # step 0 re-rolls even for a previously-seen (taskvar, episode_id):
+    # a reused demo key across two evaluate() runs must draw fresh, like
+    # the reference client does at every episode reset
+    import random
+    random.seed(0)
+    draws = set()
+    for _ in range(20):
+        a.predict(task_str="t", variation=0, step_id=0,
+                  obs_state_dict={}, episode_id=7, instructions=instrs)
+        draws.add(a._episode_instr[("t+0", 7)])
+    assert len(draws) > 1, "step-0 reset never re-rolled the instruction"
+
+    # the cache is bounded: >32 distinct episodes evict FIFO rather than
+    # growing without bound
+    for ep in range(100, 140):
+        a.predict(task_str="t", variation=0, step_id=0,
+                  obs_state_dict={}, episode_id=ep, instructions=instrs)
+    assert len(a._episode_instr) <= 32
 
     # no episode_id: deterministic first instruction on every call
     client.calls.clear()
