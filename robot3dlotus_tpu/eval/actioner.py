@@ -120,28 +120,34 @@ class Actioner:
             self._jit_cache[T] = run
         return self._jit_cache[T]
 
-    def _predict_fn_flat(self, cin):
-        """Single-observation path: per-step inputs ride ONE flat H2D
-        buffer unpacked by static slices inside the jitted program. On a
-        tunneled/remote device every separate transfer pays an RPC round
-        trip (~1 ms each on the dev rig — 7 arrays cost more than the
-        whole host preprocess), so the batch is packed host-side instead.
-        The per-instruction text embedding is staged once and reused."""
-        key = ("flat", cin)
+    def _predict_fn_flat_batch(self, cin):
+        """Flat path, single obs and batches alike: B observations ride ONE
+        (B, row) H2D buffer unpacked by static slices inside the jitted
+        program, plus the stacked text context. On a tunneled/remote device
+        every separate transfer pays an RPC round trip (~1 ms each on the
+        dev rig — 7 arrays cost more than the whole host preprocess), so
+        inputs are packed host-side. The single-obs `predict` runs this at
+        B=1; `predict_batch` (the eval-server consumer draining queued
+        queries from several sim producers) at bucketed B — ONE program
+        definition, so the row layout cannot drift between the two.
+        jax.jit retraces per (B, T) shape."""
+        key = ("flatb", cin)
         if key not in self._jit_cache:
             model, act_cfg, N = self.model, self.act_cfg, self.num_points
+            row = N * (cin + 1) + 10
 
             @jax.jit
             def run(variables, flat, txt_dev, txt_mask_dev):
-                pc = flat[:N * cin].reshape(1, N, cin)
-                mask = flat[N * cin:N * (cin + 1)].reshape(1, N) > 0.5
-                count = flat[N * (cin + 1)].astype(jnp.int32)[None]
-                ee = flat[N * (cin + 1) + 1:N * (cin + 1) + 9].reshape(1, 8)
-                step_id = flat[N * (cin + 1) + 9].astype(jnp.int32)[None]
+                B = flat.shape[0]
+                assert flat.shape[1] == row
+                pc = flat[:, :N * cin].reshape(B, N, cin)
+                mask = flat[:, N * cin:N * (cin + 1)] > 0.5
+                count = flat[:, N * (cin + 1)].astype(jnp.int32)
+                ee = flat[:, N * (cin + 1) + 1:N * (cin + 1) + 9]
+                step_id = flat[:, N * (cin + 1) + 9].astype(jnp.int32)
                 batch = {
                     "pc_fts": pc, "pc_mask": mask, "pc_counts": count,
-                    "txt_embeds": txt_dev[None], "txt_mask":
-                        txt_mask_dev[None],
+                    "txt_embeds": txt_dev, "txt_mask": txt_mask_dev,
                     "ee_poses": ee, "step_ids": step_id,
                 }
                 preds = model.apply(variables, batch, deterministic=True)
@@ -150,14 +156,15 @@ class Actioner:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _staged_txt(self, instr, instr_embed):
-        """Device-staged (txt_embeds (T, D), txt_mask (T,)) per embedding,
+    def _staged_txt(self, instr, instr_embed, batched=False):
+        """Device-staged (txt_embeds (T, D), txt_mask (T,)) per embedding —
+        ((1, T, D), (1, T)) when `batched`, the flat-batch program's layout —
         T padded to the standard buckets. Keyed by the embedding CONTENT,
         not the instruction string: in synthetic-store mode the embedding
         derives from the taskvar, so two taskvars can share an instruction
         string while needing different embeddings. A bytes key makes the
         dict compare by equality (no hash-collision aliasing)."""
-        key = instr_embed.tobytes()
+        key = (instr_embed.tobytes(), batched)
         cached = self._txt_dev_cache.get(key)
         if cached is None:
             T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
@@ -166,9 +173,64 @@ class Actioner:
             txt[:t] = instr_embed[:t]
             tmask = np.zeros(T, bool)
             tmask[:t] = True
+            if batched:
+                txt, tmask = txt[None], tmask[None]
             cached = (jnp.asarray(txt), jnp.asarray(tmask))
             self._txt_dev_cache[key] = cached
         return cached
+
+    # ------------------------------------------------------------------ #
+    # shared per-payload host logic (predict and predict_batch must not
+    # drift: one definition each for prep, row packing, and decode tail)
+
+    def _host_prep(self, task_str, variation, obs, instructions):
+        """Instruction embedding + the host point-cloud chain for one
+        payload. Returns (instructions, instr_embed, pc_ft, centroid,
+        radius, ee_pose); pc_ft is None when the crop emptied the cloud."""
+        taskvar = f"{task_str}+{variation}"
+        if instructions is None:
+            instructions = self.taskvar_instrs.get(taskvar, ["do the task"])
+        instr_embed = self._encode_instruction(
+            instructions[0], taskvar=taskvar)
+        pc_ft, centroid, radius, ee_pose = self.process_point_clouds(
+            np.stack(obs["pc"], 0), np.stack(obs["rgb"], 0),
+            ee_pose=copy.deepcopy(np.asarray(obs["gripper"])),
+            arm_links_info=obs.get("arm_links_info"), taskvar=taskvar)
+        return instructions, instr_embed, pc_ft, centroid, radius, ee_pose
+
+    def _pack_flat_row(self, out, pc_ft, ee_pose, step_id):
+        """One observation into one row of the flat H2D buffer (the layout
+        `_predict_fn_flat_batch` unpacks)."""
+        N = self.num_points
+        cin = pc_ft.shape[-1]
+        n = min(len(pc_ft), N)
+        out[:n * cin] = pc_ft[:n].ravel()
+        out[N * cin:N * cin + n] = 1.0
+        out[N * (cin + 1)] = n
+        out[N * (cin + 1) + 1:N * (cin + 1) + 9] = ee_pose
+        out[N * (cin + 1) + 9] = step_id
+
+    def _zero_action(self):
+        """Safe action for an emptied cloud: origin, gripper closed, z at
+        the table clamp (reference predict's guard)."""
+        action = np.zeros(8, np.float32)
+        action[2] = self.TABLE_HEIGHT + 0.005
+        return action
+
+    def _finish_action(self, action, centroid, radius):
+        """Decode tail shared by every path: threshold the open logit,
+        un-normalize the position, clamp z above the table."""
+        action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
+        action[:3] = action[:3] * radius + centroid
+        action[2] = max(action[2], self.TABLE_HEIGHT + 0.005)
+        return action
+
+    def _save_obs_out(self, taskvar, episode_id, step_id, obs, action):
+        if self.save_obs_outs_dir:
+            np.save(os.path.join(
+                self.save_obs_outs_dir,
+                f"{taskvar}-{episode_id}-{step_id}.npy"),
+                {"obs": obs, "action": action})
 
     def _predict_fn_shuffled(self, T):
         """Forward with serialized-order shuffling active — the eval-time
@@ -371,40 +433,30 @@ class Actioner:
                 obs_state_dict=None, episode_id=None, instructions=None):
         taskvar = f"{task_str}+{variation}"
         obs = obs_state_dict
-        rgb = np.stack(obs["rgb"], 0)
-        xyz = np.stack(obs["pc"], 0)
-
-        if instructions is None:
-            instructions = self.taskvar_instrs.get(taskvar, ["do the task"])
-        instr_embed = self._encode_instruction(instructions[0], taskvar=taskvar)
 
         if self.device_preprocess:
+            if instructions is None:
+                instructions = self.taskvar_instrs.get(
+                    taskvar, ["do the task"])
+            instr_embed = self._encode_instruction(
+                instructions[0], taskvar=taskvar)
             action = self._device_predict(
-                xyz, rgb, np.asarray(obs["gripper"], np.float32),
+                np.stack(obs["pc"], 0), np.stack(obs["rgb"], 0),
+                np.asarray(obs["gripper"], np.float32),
                 obs.get("arm_links_info"), instr_embed, instructions[0],
                 step_id)
-            out = {"action": action}
-            if self.save_obs_outs_dir:
-                np.save(os.path.join(
-                    self.save_obs_outs_dir,
-                    f"{taskvar}-{episode_id}-{step_id}.npy"),
-                    {"obs": obs, "action": action})
-            return out
-
-        res = self.process_point_clouds(
-            xyz, rgb, ee_pose=copy.deepcopy(np.asarray(obs["gripper"])),
-            arm_links_info=obs.get("arm_links_info"), taskvar=taskvar)
-        pc_ft, centroid, radius, ee_pose = res
-
-        if pc_ft is None or len(pc_ft) <= 10:
-            action = np.zeros(8, np.float32)
-            action[2] = max(action[2], self.TABLE_HEIGHT + 0.005)
+            self._save_obs_out(taskvar, episode_id, step_id, obs, action)
             return {"action": action}
 
+        instructions, instr_embed, pc_ft, centroid, radius, ee_pose = \
+            self._host_prep(task_str, variation, obs, instructions)
+        if pc_ft is None or len(pc_ft) <= 10:
+            return {"action": self._zero_action()}
+
         N = self.num_points
-        n = min(len(pc_ft), N)
         cin = pc_ft.shape[-1]
         if self.num_ensembles > 1:
+            n = min(len(pc_ft), N)
             pc = np.zeros((1, N, cin), np.float32)
             pc[0, :n] = pc_ft[:n]
             mask = np.zeros((1, N), bool)
@@ -425,26 +477,86 @@ class Actioner:
             }
             action = self._ensemble_predict(T, batch)
         else:
-            flat = np.zeros(N * (cin + 1) + 10, np.float32)
-            flat[:n * cin] = pc_ft[:n].ravel()
-            flat[N * cin:N * cin + n] = 1.0
-            flat[N * (cin + 1)] = n
-            flat[N * (cin + 1) + 1:N * (cin + 1) + 9] = ee_pose
-            flat[N * (cin + 1) + 9] = step_id
+            flat = np.zeros((1, N * (cin + 1) + 10), np.float32)
+            self._pack_flat_row(flat[0], pc_ft, ee_pose, step_id)
             txt_dev, txt_mask_dev = self._staged_txt(
-                instructions[0], instr_embed)
-            run = self._predict_fn_flat(cin)
+                instructions[0], instr_embed, batched=True)
+            run = self._predict_fn_flat_batch(cin)
             # np.array: device arrays view as read-only numpy
             action = np.array(run(self.variables, jnp.asarray(flat),
                                   txt_dev, txt_mask_dev))[0]
-        action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
-        action[:3] = action[:3] * radius + centroid
-        action[2] = max(action[2], self.TABLE_HEIGHT + 0.005)
+        action = self._finish_action(action, centroid, radius)
+        self._save_obs_out(taskvar, episode_id, step_id, obs, action)
+        return {"action": action}
 
-        out = {"action": action}
-        if self.save_obs_outs_dir:
-            np.save(os.path.join(
-                self.save_obs_outs_dir,
-                f"{taskvar}-{episode_id}-{step_id}.npy"),
-                {"obs": obs, "action": action})
-        return out
+    _BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+    def predict_batch(self, payloads):
+        """Serve several queued `predict` queries in batched forwards.
+
+        The reference consumer answers one query per forward
+        (eval_simple_policy_server.py:59-74); with N sim producers the
+        accelerator sits idle between their interleaved single-obs calls.
+        Here the eval-server consumer drains pending queries and this method
+        stacks their preprocessed clouds into (B, N, C) batches — bucketed B
+        so every size hits a cached executable, padding rows replicating row
+        0 (their outputs are discarded), batches larger than the top bucket
+        split into chunks. Per-row prep/packing/decode is the same code
+        `predict` runs, so the two cannot drift.
+
+        Ensemble and fused-device-preprocess modes stay sequential: the
+        former averages multiple shuffled forwards per obs, the latter is a
+        single-obs program by construction."""
+        if self.num_ensembles > 1 or self.device_preprocess or \
+                len(payloads) == 1:
+            return [self.predict(**p) for p in payloads]
+
+        N = self.num_points
+        outs: list = [None] * len(payloads)
+        prepped = []
+        for i, p in enumerate(payloads):
+            _, instr_embed, pc_ft, centroid, radius, ee_pose = \
+                self._host_prep(p.get("task_str"), p.get("variation"),
+                                p["obs_state_dict"], p.get("instructions"))
+            if pc_ft is None or len(pc_ft) <= 10:
+                outs[i] = {"action": self._zero_action()}
+                continue
+            prepped.append((i, pc_ft, centroid, radius, ee_pose,
+                            instr_embed, int(p.get("step_id") or 0)))
+        if not prepped:
+            return outs
+
+        cin = prepped[0][1].shape[-1]
+        row = N * (cin + 1) + 10
+        run = self._predict_fn_flat_batch(cin)
+        cap = self._BATCH_BUCKETS[-1]
+        for c0 in range(0, len(prepped), cap):
+            chunk = prepped[c0:c0 + cap]
+            B = _bucket(len(chunk), self._BATCH_BUCKETS)
+            T = _bucket(max(pr[5].shape[0] for pr in chunk), TXT_BUCKETS)
+            flat = np.zeros((B, row), np.float32)
+            txt = np.zeros((B, T, chunk[0][5].shape[-1]), np.float32)
+            txt_mask = np.zeros((B, T), bool)
+            for r, (_, pc_ft, _, _, ee_pose, instr_embed, step_id) in \
+                    enumerate(chunk):
+                self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id)
+                t = min(instr_embed.shape[0], T)
+                txt[r, :t] = instr_embed[:t]
+                txt_mask[r, :t] = True
+            for r in range(len(chunk), B):  # padding rows: replicate row 0
+                flat[r] = flat[0]
+                txt[r] = txt[0]
+                txt_mask[r] = txt_mask[0]
+
+            actions = np.array(run(self.variables, jnp.asarray(flat),
+                                   jnp.asarray(txt), jnp.asarray(txt_mask)))
+            for r, (i, _, centroid, radius, _, _, _) in enumerate(chunk):
+                action = self._finish_action(actions[r].copy(),
+                                             centroid, radius)
+                outs[i] = {"action": action}
+                p = payloads[i]
+                self._save_obs_out(
+                    f"{p.get('task_str')}+{p.get('variation')}",
+                    p.get("episode_id"), p.get("step_id"),
+                    p["obs_state_dict"], action)
+        return outs

@@ -153,7 +153,7 @@ class MotionPlannerEngine:
     def _predict_fn_flat(self, cin):
         """Per-call inputs ride ONE flat H2D buffer (on a tunneled device
         each separate transfer costs an RPC round trip — see
-        eval/actioner.py:_predict_fn_flat); the sub-goal text embedding is
+        eval/actioner.py:_predict_fn_flat_batch); the sub-goal text embedding is
         content-cached on device since plan steps repeat across an episode.
         Layout: pc (N*cin) | labels (N) | mask (N) | count | ee (8)."""
         key = ("flat", cin)

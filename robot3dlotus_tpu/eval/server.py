@@ -25,29 +25,80 @@ import numpy as np
 from .common import write_to_file
 
 
-def consumer_fn(actioner_builder, batch_queue, result_queues, stop_token="STOP"):
+def consumer_fn(actioner_builder, batch_queue, result_queues,
+                stop_token="STOP", max_batch=None, stateful=False):
     """Owns the accelerator; answers policy queries
-    (reference eval_simple_policy_server.py:59-74)."""
+    (reference eval_simple_policy_server.py:59-74).
+
+    Dynamic batching: after the blocking get, pending queries from other
+    producers are drained (non-blocking, up to `max_batch`) and served in ONE
+    batched forward via `actioner.predict_batch` when the actioner supports
+    it. Each producer blocks on its own result queue between steps, so the
+    natural batch size is however many producers have a query in flight —
+    the accelerator stops serializing B=1 forwards across sim workers.
+    `stateful` topologies (the 3D-LOTUS++ pipeline's per-episode cache
+    round-trips through the payloads) and actioners without `predict_batch`
+    keep the reference one-at-a-time behavior."""
+    if max_batch is None:
+        max_batch = int(os.environ.get("ROBOT3DLOTUS_EVAL_MAX_BATCH", "8"))
     actioner = actioner_builder()
+    can_batch = (not stateful and max_batch > 1
+                 and hasattr(actioner, "predict_batch"))
     consecutive_errors = 0
-    while True:
+    batch_failures = 0
+    saw_stop = False
+    while not saw_stop:
         item = batch_queue.get()
         if item == stop_token:
             break
-        k, payload = item
-        try:
-            out = actioner.predict(**payload)
-            consecutive_errors = 0
-        except Exception as e:  # fail the episode, not the run...
-            consecutive_errors += 1
-            import traceback
-            traceback.print_exc()
-            # ...unless every call fails — that's a model/config bug, and
-            # recording sr=0 for the whole sweep would hide it
-            if consecutive_errors >= 8:
-                raise
-            out = {"action": np.zeros(8, np.float32), "error": str(e)}
-        result_queues[k].put(out)
+        items = [item]
+        while can_batch and len(items) < max_batch:
+            try:
+                nxt = batch_queue.get_nowait()
+            except queue_mod.Empty:
+                break
+            if nxt == stop_token:  # answer what we already drained first
+                saw_stop = True
+                break
+            items.append(nxt)
+        results = None
+        if len(items) > 1:
+            try:
+                results = actioner.predict_batch([p for _, p in items])
+                consecutive_errors = 0
+                batch_failures = 0
+            except Exception:
+                import traceback
+                traceback.print_exc()
+                # a poisoned payload inside a batch shouldn't zero its
+                # batch-mates: fall through to per-item serving below. A
+                # batch path that fails EVERY time (a predict_batch bug,
+                # not a bad payload) would silently degrade the whole
+                # sweep to sequential-with-traceback-spam — disable it
+                # loudly instead.
+                batch_failures += 1
+                if batch_failures >= 3:
+                    can_batch = False
+                    print("consumer: predict_batch failed 3x in a row — "
+                          "disabling dynamic batching for this run")
+        if results is None:
+            results = []
+            for _, payload in items:
+                try:  # fail the episode, not the run...
+                    results.append(actioner.predict(**payload))
+                    consecutive_errors = 0
+                except Exception as e:
+                    consecutive_errors += 1
+                    import traceback
+                    traceback.print_exc()
+                    # ...unless every call fails — that's a model/config
+                    # bug, and recording sr=0 for the sweep would hide it
+                    if consecutive_errors >= 8:
+                        raise
+                    results.append({"action": np.zeros(8, np.float32),
+                                    "error": str(e)})
+        for (k, _), out in zip(items, results):
+            result_queues[k].put(out)
 
 
 class QueueActioner:
@@ -164,7 +215,7 @@ def producer_fn(
 def run_eval_server(
     taskvars: List[str], actioner_builder: Callable, env_builder: Callable,
     result_file: str, num_workers=4, num_demos=20, max_steps=25, seed=100,
-    checkpoint=None, stateful=False, sim_env=False,
+    checkpoint=None, stateful=False, sim_env=False, max_batch=None,
 ):
     """Reference main (eval_simple_policy_server.py:230-291). `checkpoint`
     is recorded in every result row so multi-checkpoint validation sweeps
@@ -182,7 +233,8 @@ def run_eval_server(
     result_queues = [ctx.Queue() for _ in range(num_workers)]
     consumer = ctx.Process(
         target=consumer_fn,
-        args=(actioner_builder, batch_queue, result_queues))
+        args=(actioner_builder, batch_queue, result_queues, "STOP",
+              max_batch, stateful))
     consumer.start()
 
     shards = [todo[i::num_workers] for i in range(num_workers)]

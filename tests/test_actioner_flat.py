@@ -1,5 +1,5 @@
 """The Actioner's single-buffer H2D path must reproduce the dict-batch
-program bit-for-bit: the flat packing (eval/actioner.py:_predict_fn_flat)
+program bit-for-bit: the flat packing (eval/actioner.py:_predict_fn_flat_batch)
 is a transport optimization for RPC-priced device links, not a model
 change. Packs random observations both ways and compares decoded actions.
 """
@@ -73,15 +73,12 @@ def test_flat_predict_matches_dict_batch(tmp_path):
     }
     ref = np.asarray(a._predict_fn(T)(a.variables, batch))[0]
 
-    # flat-buffer program (the single-obs path)
-    flat = np.zeros(N * (cin + 1) + 10, np.float32)
-    flat[:n * cin] = pc_ft.ravel()
-    flat[N * cin:N * cin + n] = 1.0
-    flat[N * (cin + 1)] = n
-    flat[N * (cin + 1) + 1:N * (cin + 1) + 9] = ee
-    flat[N * (cin + 1) + 9] = step_id
-    txt_dev, txt_mask_dev = a._staged_txt("instr", instr_embed)
-    got = np.asarray(a._predict_fn_flat(cin)(
+    # flat-buffer program (the single-obs path: the B=1 row of the shared
+    # batched unpacker)
+    flat = np.zeros((1, N * (cin + 1) + 10), np.float32)
+    a._pack_flat_row(flat[0], pc_ft, ee, step_id)
+    txt_dev, txt_mask_dev = a._staged_txt("instr", instr_embed, batched=True)
+    got = np.asarray(a._predict_fn_flat_batch(cin)(
         a.variables, jnp.asarray(flat), txt_dev, txt_mask_dev))[0]
 
     np.testing.assert_array_equal(ref, got)
