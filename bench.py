@@ -234,6 +234,87 @@ def bench_latency(num_calls=None, warmup=5):
             decomp)
 
 
+def bench_serving(batch_sizes=(1, 8), num_calls=20, warmup=3):
+    """Batched-serving throughput: actions/s through the release model's
+    flat inference program at each batch size. The eval server's consumer
+    drains queued producer queries into one forward
+    (eval/server.py consumer_fn + eval/actioner.py predict_batch); this
+    measures the device-side amortization that draining buys — per-call
+    transfer + RTT + dispatch paid once per batch instead of once per
+    action. Gated behind BENCH_SERVING=1 (each batch size costs a release
+    compile on a cold cache)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import RELEASE_PTV3, RELEASE_ACT
+    from robot3dlotus_tpu.models.simple_policy import (
+        SimplePolicyTPU, decode_actions,
+    )
+    from robot3dlotus_tpu.train.trainer import init_variables
+
+    N = int(os.environ.get("BENCH_POINTS", "4096"))
+    T, cin = 16, 7
+    row = N * (cin + 1) + 10
+    model = SimplePolicyTPU(
+        ptv3_cfg=dict(RELEASE_PTV3, compute_dtype="float32"),
+        act_cfg=RELEASE_ACT, variant="ca")
+    dummy = {
+        "pc_fts": jnp.zeros((1, N, cin), jnp.float32),
+        "pc_mask": jnp.ones((1, N), bool),
+        "pc_counts": jnp.full((1,), N, jnp.int32),
+        "txt_embeds": jnp.zeros((1, T, 512), jnp.float32),
+        "txt_mask": jnp.ones((1, T), bool),
+        "ee_poses": jnp.asarray([[0, 0, 0, 0, 0, 0, 1, 1]], jnp.float32),
+        "step_ids": jnp.zeros((1,), jnp.int32),
+    }
+    variables = init_variables(model, dummy, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run_flat_b(variables, flat, txt_dev, txt_mask_dev):
+        B = flat.shape[0]
+        pc = flat[:, :N * cin].reshape(B, N, cin)
+        mask = flat[:, N * cin:N * (cin + 1)] > 0.5
+        count = flat[:, N * (cin + 1)].astype(jnp.int32)
+        ee = flat[:, N * (cin + 1) + 1:N * (cin + 1) + 9]
+        step_id = flat[:, N * (cin + 1) + 9].astype(jnp.int32)
+        batch = {
+            "pc_fts": pc, "pc_mask": mask, "pc_counts": count,
+            "txt_embeds": txt_dev, "txt_mask": txt_mask_dev,
+            "ee_poses": ee, "step_ids": step_id,
+        }
+        preds = model.apply(variables, batch, deterministic=True)
+        return decode_actions(preds, RELEASE_ACT)
+
+    rng = np.random.RandomState(0)
+    out = {}
+    for B in batch_sizes:
+        flat = np.zeros((B, row), np.float32)
+        for r in range(B):
+            n = N - rng.randint(0, N // 8)
+            pc_ft = rng.uniform(-0.4, 0.4, (n, cin)).astype(np.float32)
+            flat[r, :n * cin] = pc_ft.ravel()
+            flat[r, N * cin:N * cin + n] = 1.0
+            flat[r, N * (cin + 1)] = n
+            flat[r, N * (cin + 1) + 1:N * (cin + 1) + 9] = \
+                [0.3, 0, 1.0, 0, 0, 0, 1, 1]
+        txt = rng.randn(B, T, 512).astype(np.float32)
+        tmask = np.ones((B, T), bool)
+        times = []
+        for i in range(warmup + num_calls):
+            t0 = time.perf_counter()
+            # fresh host arrays each call: the H2D staging is part of what
+            # batching amortizes; np.asarray forces completion + readback
+            a = np.asarray(run_flat_b(
+                variables, jnp.asarray(flat),
+                jnp.asarray(txt), jnp.asarray(tmask)))
+            assert a.shape == (B, 8)
+            if i >= warmup:
+                times.append(time.perf_counter() - t0)
+        p50 = float(np.percentile(times, 50))
+        out[f"serving_b{B}_actions_per_sec"] = round(B / p50, 2)
+        out[f"serving_b{B}_p50_ms"] = round(p50 * 1e3, 3)
+    return out
+
+
 def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
     """Host input-pipeline throughput: SyntheticStore episodes through the
     FULL KeystepDataset preprocessing (workspace crop, 1 cm voxelize,
@@ -420,6 +501,14 @@ def main():
         loader_sps = None
     print("bench: latency bench...", file=sys.stderr, flush=True)
     p50_ms, p99_ms, lat_decomp = bench_latency()
+    serving = {}
+    if os.environ.get("BENCH_SERVING", "0") == "1":
+        print("bench: serving-throughput bench...", file=sys.stderr,
+              flush=True)
+        try:
+            serving = bench_serving()
+        except Exception as e:
+            print(f"bench: serving bench failed: {e!r}", file=sys.stderr)
 
     rec = {
         "metric": metric_name,
@@ -432,6 +521,7 @@ def main():
         "impl": impl,
     }
     rec.update(lat_decomp)
+    rec.update(serving)
     if loader_sps is not None:
         # host-side input pipeline rate (full preprocessing + collate);
         # training is input-bound when this is below the train value
@@ -474,6 +564,9 @@ def main():
             book = {}
         if impl == "xla":
             book[flops_key] = step_flops
+            book["_provenance"] = (
+                "cost analysis of the BENCH_IMPL=xla device run "
+                "(kernel family disabled)")
             with open(flops_file, "w") as f:
                 json.dump(book, f, indent=1, sort_keys=True)
         algo = book.get(flops_key)
