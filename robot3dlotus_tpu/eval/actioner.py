@@ -40,7 +40,7 @@ from ..train.datasets.collate import TXT_BUCKETS, _bucket
 class Actioner:
     def __init__(self, exp_config, checkpoint=None, cli_opts=None,
                  best_disc_pos="max", num_ensembles=1, real_robot=False,
-                 save_obs_outs_dir=None, device_preprocess=None):
+                 save_obs_outs_dir=None, device_preprocess=None, mesh=None):
         self.config = get_config(exp_config, cli_opts)
         self.data_cfg = dict(self.config.TRAIN_DATASET)
         self.act_cfg = dict(self.config.MODEL.action_config)
@@ -90,6 +90,33 @@ class Actioner:
         self.device_preprocess = device_preprocess and num_ensembles == 1
         self._obs_to_action = None
         self._step_counter = 0
+
+        # sharded serving: commit the variables to a dp x sp x tp mesh (the
+        # same Megatron TP rules and point-axis sp sharding the trainer
+        # uses, parallel/mesh.py) and run the dict-batch program against
+        # those layouts — tp/sp cut single-obs latency, dp scales
+        # predict_batch throughput. Spec: Actioner(mesh="sp=2,tp=2") or
+        # ROBOT3DLOTUS_SERVE_MESH=... . Mutually exclusive with the fused
+        # single-obs preprocess program (a Pallas pipeline jit cannot
+        # partition): the mesh wins and the host preprocess path is used.
+        mesh = mesh if mesh is not None else \
+            os.environ.get("ROBOT3DLOTUS_SERVE_MESH") or None
+        self.mesh = None
+        if mesh:
+            from ..parallel.mesh import mesh_from_spec, shard_variables
+            self.mesh = mesh_from_spec(mesh)
+            missing = {"dp", "sp", "tp"} - set(self.mesh.shape)
+            if missing:  # a Mesh object passed through mesh_from_spec
+                raise ValueError(
+                    f"serving mesh lacks axes {sorted(missing)}; build it "
+                    "with parallel.mesh.make_mesh (dp, sp, tp)")
+            self.variables = shard_variables(self.variables, self.mesh)
+            if self.device_preprocess:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "serve mesh set: disabling the fused device-preprocess "
+                    "path (not mesh-partitionable); using host preprocess")
+                self.device_preprocess = False
 
     # ------------------------------------------------------------------ #
 
@@ -231,6 +258,59 @@ class Actioner:
                 self.save_obs_outs_dir,
                 f"{taskvar}-{episode_id}-{step_id}.npy"),
                 {"obs": obs, "action": action})
+
+    # ------------------------------------------------------------------ #
+    # sharded serving (self.mesh): dict-batch arrays with committed
+    # dp/sp shardings instead of the flat single-buffer transport — on a
+    # pod the per-array DMA is cheap and GSPMD needs the (B, N, C) layout
+    # visible to shard the point axis
+
+    def _dict_batch(self, rows, B, T):
+        """(B, ...) dict-batch arrays from [(pc_ft, ee_pose, instr_embed,
+        step_id)] rows; padding rows replicate row 0 (outputs discarded)."""
+        N = self.num_points
+        cin = rows[0][0].shape[-1]
+        pc = np.zeros((B, N, cin), np.float32)
+        mask = np.zeros((B, N), bool)
+        counts = np.zeros(B, np.int32)
+        txt = np.zeros((B, T, rows[0][2].shape[-1]), np.float32)
+        tmask = np.zeros((B, T), bool)
+        ee = np.zeros((B, 8), np.float32)
+        steps = np.zeros(B, np.int32)
+        for r in range(B):
+            pc_ft, ee_pose, instr_embed, step_id = \
+                rows[r] if r < len(rows) else rows[0]
+            n = min(len(pc_ft), N)
+            pc[r, :n] = pc_ft[:n]
+            mask[r, :n] = True
+            counts[r] = n
+            t = min(instr_embed.shape[0], T)
+            txt[r, :t] = instr_embed[:t]
+            tmask[r, :t] = True
+            ee[r] = ee_pose
+            steps[r] = step_id
+        return {"pc_fts": pc, "pc_mask": mask, "pc_counts": counts,
+                "txt_embeds": txt, "txt_mask": tmask, "ee_poses": ee,
+                "step_ids": steps}
+
+    def _stage_mesh_batch(self, batch):
+        """Commit a host dict batch to the serving mesh: batch axis over
+        'dp' and cloud point axis over 'sp' when divisible (the trainer's
+        own input layout, parallel/mesh.py batch_leaf_sharding), fully
+        replicated otherwise (B=1 under dp>1 still runs — GSPMD reshards
+        internally)."""
+        from ..parallel.mesh import replicated_sharding, shard_batch
+        B = batch["pc_fts"].shape[0]
+        if B % self.mesh.shape["dp"]:
+            return {k: jax.device_put(v, replicated_sharding(self.mesh))
+                    for k, v in batch.items()}
+        return shard_batch(batch, self.mesh)
+
+    def _mesh_predict_rows(self, rows, B, T):
+        """rows -> (len(rows), 8) raw decoded actions on the serving mesh."""
+        batch = self._stage_mesh_batch(self._dict_batch(rows, B, T))
+        out = np.array(self._predict_fn(T)(self.variables, batch))
+        return out[:len(rows)]
 
     def _predict_fn_shuffled(self, T):
         """Forward with serialized-order shuffling active — the eval-time
@@ -456,26 +536,14 @@ class Actioner:
         N = self.num_points
         cin = pc_ft.shape[-1]
         if self.num_ensembles > 1:
-            n = min(len(pc_ft), N)
-            pc = np.zeros((1, N, cin), np.float32)
-            pc[0, :n] = pc_ft[:n]
-            mask = np.zeros((1, N), bool)
-            mask[0, :n] = True
             T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
-            txt = np.zeros((1, T, instr_embed.shape[-1]), np.float32)
-            t = min(instr_embed.shape[0], T)
-            txt[0, :t] = instr_embed[:t]
-            txt_mask = np.zeros((1, T), bool)
-            txt_mask[0, :t] = True
-            batch = {
-                "pc_fts": jnp.asarray(pc), "pc_mask": jnp.asarray(mask),
-                "pc_counts": jnp.asarray([n], jnp.int32),
-                "txt_embeds": jnp.asarray(txt),
-                "txt_mask": jnp.asarray(txt_mask),
-                "ee_poses": jnp.asarray(ee_pose[None]),
-                "step_ids": jnp.asarray([step_id], jnp.int32),
-            }
+            batch = {k: jnp.asarray(v) for k, v in self._dict_batch(
+                [(pc_ft, ee_pose, instr_embed, step_id)], 1, T).items()}
             action = self._ensemble_predict(T, batch)
+        elif self.mesh is not None:
+            T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
+            action = self._mesh_predict_rows(
+                [(pc_ft, ee_pose, instr_embed, step_id)], 1, T)[0].copy()
         else:
             flat = np.zeros((1, N * (cin + 1) + 10), np.float32)
             self._pack_flat_row(flat[0], pc_ft, ee_pose, step_id)
@@ -528,28 +596,34 @@ class Actioner:
 
         cin = prepped[0][1].shape[-1]
         row = N * (cin + 1) + 10
-        run = self._predict_fn_flat_batch(cin)
         cap = self._BATCH_BUCKETS[-1]
         for c0 in range(0, len(prepped), cap):
             chunk = prepped[c0:c0 + cap]
             B = _bucket(len(chunk), self._BATCH_BUCKETS)
             T = _bucket(max(pr[5].shape[0] for pr in chunk), TXT_BUCKETS)
-            flat = np.zeros((B, row), np.float32)
-            txt = np.zeros((B, T, chunk[0][5].shape[-1]), np.float32)
-            txt_mask = np.zeros((B, T), bool)
-            for r, (_, pc_ft, _, _, ee_pose, instr_embed, step_id) in \
-                    enumerate(chunk):
-                self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id)
-                t = min(instr_embed.shape[0], T)
-                txt[r, :t] = instr_embed[:t]
-                txt_mask[r, :t] = True
-            for r in range(len(chunk), B):  # padding rows: replicate row 0
-                flat[r] = flat[0]
-                txt[r] = txt[0]
-                txt_mask[r] = txt_mask[0]
-
-            actions = np.array(run(self.variables, jnp.asarray(flat),
-                                   jnp.asarray(txt), jnp.asarray(txt_mask)))
+            if self.mesh is not None:
+                actions = self._mesh_predict_rows(
+                    [(pc_ft, ee_pose, instr_embed, step_id)
+                     for _, pc_ft, _, _, ee_pose, instr_embed, step_id
+                     in chunk], B, T)
+            else:
+                run = self._predict_fn_flat_batch(cin)
+                flat = np.zeros((B, row), np.float32)
+                txt = np.zeros((B, T, chunk[0][5].shape[-1]), np.float32)
+                txt_mask = np.zeros((B, T), bool)
+                for r, (_, pc_ft, _, _, ee_pose, instr_embed, step_id) in \
+                        enumerate(chunk):
+                    self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id)
+                    t = min(instr_embed.shape[0], T)
+                    txt[r, :t] = instr_embed[:t]
+                    txt_mask[r, :t] = True
+                for r in range(len(chunk), B):  # padding rows: row 0 again
+                    flat[r] = flat[0]
+                    txt[r] = txt[0]
+                    txt_mask[r] = txt_mask[0]
+                actions = np.array(run(
+                    self.variables, jnp.asarray(flat),
+                    jnp.asarray(txt), jnp.asarray(txt_mask)))
             for r, (i, _, centroid, radius, _, _, _) in enumerate(chunk):
                 action = self._finish_action(actions[r].copy(),
                                              centroid, radius)

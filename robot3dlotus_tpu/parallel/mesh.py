@@ -133,6 +133,49 @@ def state_shardings(state, mesh: Mesh):
         state)
 
 
+def shard_variables(variables, mesh: Mesh):
+    """Commit inference variables (params + batch_stats) to the mesh:
+    TP-sharded where the rules apply, replicated elsewhere —
+    state_shardings applied without optimizer mirrors. jit then compiles
+    the forward against these layouts, so serving shards without touching
+    the model code."""
+    return jax.device_put(variables, state_shardings(variables, mesh))
+
+
+def parse_mesh_spec(spec: str) -> dict:
+    """'dp=2,tp=2' / 'tp=4' / 'sp=2,tp=2' -> make_mesh kwargs. Axes left
+    out default to 1 except dp, which absorbs the remaining devices when
+    omitted (make_mesh's own default)."""
+    kw = {}
+    for part in spec.replace(";", ",").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, eq, v = part.partition("=")
+        k = k.strip()
+        if k not in ("dp", "sp", "tp"):
+            raise ValueError(f"unknown mesh axis {k!r} in {spec!r}")
+        if not eq or not v.strip().isdigit() or int(v) < 1:
+            raise ValueError(
+                f"mesh axis {k!r} needs a positive size (got {part!r} "
+                f"in {spec!r})")
+        kw[k] = int(v)
+    return kw
+
+
+def mesh_from_spec(spec) -> Mesh:
+    """Mesh from a spec string/dict (or pass a Mesh through). With an
+    explicit dp the mesh uses the first dp*sp*tp devices; with dp omitted
+    it spans all of them."""
+    if isinstance(spec, Mesh):
+        return spec
+    kw = parse_mesh_spec(spec) if isinstance(spec, str) else dict(spec)
+    if "dp" in kw:
+        n = kw["dp"] * kw.get("sp", 1) * kw.get("tp", 1)
+        return make_mesh(jax.devices()[:n], **kw)
+    return make_mesh(**kw)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Host numpy batch -> device arrays, batch axis over 'dp' and cloud
     point axis over 'sp' (batch_leaf_sharding). The train/val steps leave

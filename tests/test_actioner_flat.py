@@ -15,7 +15,7 @@ from robot3dlotus_tpu.train.datasets.collate import TXT_BUCKETS, _bucket
 from test_training_driver import TINY_PTV3
 
 
-def _actioner(tmp_path):
+def _actioner(tmp_path, **kwargs):
     act = {
         "voxel_size": 0.01, "context_channels": 32, "txt_ft_size": 64,
         "use_ee_pose": False, "use_step_id": False, "max_steps": 30,
@@ -40,7 +40,7 @@ def _actioner(tmp_path):
     f = tmp_path / "config.yaml"
     with open(f, "w") as fh:
         cfg.dump(fh)
-    return Actioner(str(f))
+    return Actioner(str(f), **kwargs)
 
 
 def test_flat_predict_matches_dict_batch(tmp_path):
