@@ -33,7 +33,7 @@ from ..models.simple_policy import decode_actions
 from ..utils.assets import resolve_asset
 from ..utils.robot_box import RobotBox
 from ..ops.voxel import voxelize_pcd_np, workspace_mask_np
-from ..train.checkpoint import load_model_ckpt
+from ..train.checkpoint import load_any_model_ckpt
 from ..train.datasets.collate import TXT_BUCKETS, _bucket
 
 
@@ -61,9 +61,10 @@ class Actioner:
         from ..train.trainer import init_variables
         self.variables = init_variables(self.model, sample, rng)
         if checkpoint:
-            self.variables = dict(load_model_ckpt(
-                checkpoint, {"params": self.variables["params"],
-                             "batch_stats": self.variables["batch_stats"]}))
+            # .msgpack (native) or a reference-layout torch .pt converted
+            # on the fly — released upstream checkpoints serve directly
+            self.variables = dict(load_any_model_ckpt(
+                checkpoint, self.variables, self.config.MODEL))
 
         self.instr_embeds = {}
         f = resolve_asset(self.data_cfg.get("instr_embed_file"))

@@ -46,7 +46,7 @@ from ..models.motion_planner import decode_mp_actions
 from ..ops.voxel import voxelize_pcd_np, workspace_mask_np
 from ..utils.assets import resolve_asset
 from ..utils.robot_box import RobotBox
-from ..train.checkpoint import load_model_ckpt
+from ..train.checkpoint import load_any_model_ckpt
 from ..train.datasets.collate import TXT_BUCKETS, _bucket
 from ..vlm.llm_planner import GroundtruthTaskPlanner, heuristic_height_range
 from .common import parse_code
@@ -112,9 +112,9 @@ class MotionPlannerEngine:
         from ..train.trainer import init_variables
         self.variables = init_variables(self.model, dummy, rng)
         if checkpoint:
-            self.variables = dict(load_model_ckpt(
-                checkpoint, {"params": self.variables["params"],
-                             "batch_stats": self.variables["batch_stats"]}))
+            # .msgpack or a reference-layout torch .pt (converted on load)
+            self.variables = dict(load_any_model_ckpt(
+                checkpoint, self.variables, self.config.MODEL))
         self._jit_cache = {}
         self._txt_dev_cache = {}
 

@@ -71,6 +71,52 @@ def load_model_ckpt(path, target_model):
         return serialization.from_bytes(target_model, f.read())
 
 
+def _merge_tree(dst, src, ckpt, path=""):
+    """Converted torch tree into an initialized template: every converted
+    leaf must exist in the model with the same shape (load it loudly or
+    not at all)."""
+    out = dict(dst)
+    for k, v in src.items():
+        if k not in out:
+            raise KeyError(
+                f"{ckpt}: converted key {path}/{k} not in the model tree")
+        if isinstance(v, dict):
+            out[k] = _merge_tree(out[k], v, ckpt, f"{path}/{k}")
+        else:
+            if tuple(out[k].shape) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"{ckpt}: {path}/{k} shape {np.shape(v)} vs model "
+                    f"{tuple(out[k].shape)}")
+            out[k] = np.asarray(v).astype(out[k].dtype)
+    return out
+
+
+def load_any_model_ckpt(path, variables, model_cfg=None):
+    """Checkpoint -> {'params', 'batch_stats'}, dispatching on format:
+    native .msgpack (flax serialization), or a reference-layout torch
+    .pt/.pth converted on the fly (torch_convert.build_name_map; needs the
+    MODEL config). Lets eval point straight at a released upstream
+    checkpoint. Returns merged copies of the given initialized template."""
+    template = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+    if not str(path).endswith((".pt", ".pth")):
+        return load_model_ckpt(path, template)
+    if model_cfg is None:
+        raise ValueError("torch checkpoints need model_cfg for conversion")
+    from .torch_convert import load_torch_checkpoint
+    params_tree, bstats_tree, missing, unexpected = load_torch_checkpoint(
+        path, model_cfg)
+    if missing or unexpected:
+        import logging
+        logging.getLogger(__name__).warning(
+            "torch checkpoint %s: %d missing / %d unexpected keys "
+            "(missing: %s...; unexpected: %s...)", path,
+            len(missing), len(unexpected), missing[:3], unexpected[:3])
+    return {"params": _merge_tree(template["params"], params_tree, path),
+            "batch_stats": _merge_tree(template["batch_stats"], bstats_tree,
+                                       path)}
+
+
 def load_train_state_latest(output_dir, opt_state_template):
     lpath = os.path.join(output_dir, "ckpts", "train_state_latest.msgpack")
     with open(lpath, "rb") as f:

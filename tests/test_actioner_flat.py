@@ -15,16 +15,19 @@ from robot3dlotus_tpu.train.datasets.collate import TXT_BUCKETS, _bucket
 from test_training_driver import TINY_PTV3
 
 
+TINY_ACT = {
+    "voxel_size": 0.01, "context_channels": 32, "txt_ft_size": 64,
+    "use_ee_pose": False, "use_step_id": False, "max_steps": 30,
+    "reduce": "max", "dim_actions": 7,
+    "pos_pred_type": "heatmap_disc", "pos_heatmap_temp": 0.1,
+    "rot_pred_type": "euler_disc", "dropout": 0.0,
+    "pos_bins": 5, "pos_bin_size": 0.01, "best_disc_pos": "max",
+    "euler_resolution": 5,
+}
+
+
 def _actioner(tmp_path, **kwargs):
-    act = {
-        "voxel_size": 0.01, "context_channels": 32, "txt_ft_size": 64,
-        "use_ee_pose": False, "use_step_id": False, "max_steps": 30,
-        "reduce": "max", "dim_actions": 7,
-        "pos_pred_type": "heatmap_disc", "pos_heatmap_temp": 0.1,
-        "rot_pred_type": "euler_disc", "dropout": 0.0,
-        "pos_bins": 5, "pos_bin_size": 0.01, "best_disc_pos": "max",
-        "euler_resolution": 5,
-    }
+    act = dict(TINY_ACT)
     cfg = ConfigNode({
         "SEED": 3,
         "output_dir": str(tmp_path / "run"),

@@ -77,6 +77,32 @@ def test_ensemble_predict_valid(tmp_path):
     assert out[-1] in (0.0, 1.0)
 
 
+def test_actioner_serves_torch_checkpoint(tmp_path):
+    """Migration affordance: the Actioner pointed at a reference-layout
+    torch .pt must serve the converted weights — same actions as the
+    actioner whose variables the .pt was exported from."""
+    from robot3dlotus_tpu.train.torch_convert import save_torch_checkpoint
+    from test_actioner_flat import TINY_ACT
+    from test_training_driver import TINY_PTV3
+
+    a1 = _actioner(tmp_path)
+    model_cfg = {
+        "model_class": "SimplePolicyPTV3CA",
+        "ptv3_config": dict(TINY_PTV3),
+        "action_config": dict(TINY_ACT),
+    }
+    pt = tmp_path / "model_step_7.pt"
+    save_torch_checkpoint(str(pt), a1.variables["params"],
+                          a1.variables["batch_stats"], model_cfg)
+    assert pt.exists(), "torch unavailable? save fell back to .npz"
+
+    a2 = _actioner(tmp_path, checkpoint=str(pt))
+    for p in _payloads(2, seed=11):
+        np.testing.assert_allclose(
+            a1.predict(**p)["action"], a2.predict(**p)["action"],
+            atol=1e-5, rtol=1e-5)
+
+
 def test_mesh_constructor_spec(tmp_path):
     """Constructor wiring: Actioner(mesh='tp=2') parses the spec, shards
     the variables, and predicts; device_preprocess yields to the mesh."""
