@@ -91,6 +91,47 @@ def _merge_tree(dst, src, ckpt, path=""):
     return out
 
 
+def warm_start_variables(variables, path, model_cfg=None,
+                         encoder_only=False):
+    """Shape-filtered partial load for warm-starting training from a
+    pretrained model (reference train_simple_policy.py:154-173: only keys
+    that exist in the target with matching shapes load; everything else
+    keeps its fresh init; no error on architecture mismatch). With
+    `encoder_only`, only backbone encoder weights load (the reference's
+    resume_encoder_only filters decoder-prefixed keys — its prefixes are
+    from an older pretraining model, so here the filter is expressed on
+    this tree's own names: ptv3_model/* minus dec{s}_*). Accepts .msgpack
+    or a reference-layout torch .pt (needs model_cfg).
+
+    Returns (variables, n_loaded, n_skipped)."""
+    from .torch_convert import flatten_tree, unflatten_tree
+    if str(path).endswith((".pt", ".pth")):
+        if model_cfg is None:
+            raise ValueError("torch checkpoints need model_cfg")
+        from .torch_convert import load_torch_checkpoint
+        params_tree, bstats_tree, _, _ = load_torch_checkpoint(
+            path, model_cfg)
+        src = {"params": params_tree, "batch_stats": bstats_tree}
+    else:
+        with open(path, "rb") as f:
+            src = serialization.msgpack_restore(f.read())
+    src_flat = flatten_tree(src)
+    dst_flat = flatten_tree({"params": variables["params"],
+                             "batch_stats": variables.get("batch_stats",
+                                                          {})})
+    n_loaded = n_skipped = 0
+    for k, v in src_flat.items():
+        keep = (not encoder_only) or (
+            "/ptv3_model/" in k and not re.search(r"/dec\d+_", k))
+        if keep and k in dst_flat and \
+                tuple(np.shape(v)) == tuple(dst_flat[k].shape):
+            dst_flat[k] = np.asarray(v).astype(dst_flat[k].dtype)
+            n_loaded += 1
+        else:
+            n_skipped += 1
+    return unflatten_tree(dst_flat), n_loaded, n_skipped
+
+
 def load_any_model_ckpt(path, variables, model_cfg=None):
     """Checkpoint -> {'params', 'batch_stats'}, dispatching on format:
     native .msgpack (flax serialization), or a reference-layout torch

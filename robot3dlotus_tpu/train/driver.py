@@ -31,7 +31,9 @@ from ..parallel import dist
 from .trainer import (
     create_train_state, make_train_step, make_val_step, RunningMeter,
 )
-from .checkpoint import ModelSaver, save_training_meta, resume_or_init
+from .checkpoint import (
+    ModelSaver, save_training_meta, resume_or_init, warm_start_variables,
+)
 from .datasets.loader import KeystepBatchLoader, PrefetchToDevice
 from .logging import build_logger, MetricWriter
 from .preempt import install_preemption_handler, requeue_self
@@ -145,6 +147,21 @@ def run_training(config, spec: TaskSpec):
             logger.info(f"resumed at step {start_step}")
     else:
         start_step = 0
+
+    # warm start from a pretrained model (reference `config.checkpoint`,
+    # train_simple_policy.py:154-173): shape-filtered partial load into the
+    # fresh init — auto-resume above takes precedence, like the reference
+    warm = config.get("checkpoint", None)
+    if start_step == 0 and warm:
+        merged, n_loaded, n_skipped = warm_start_variables(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            warm, config.MODEL,
+            encoder_only=config.TRAIN.get("resume_encoder_only", False))
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        logger.info(f"warm start from {warm}: {n_loaded} tensors loaded, "
+                    f"{n_skipped} skipped (shape-filtered)")
 
     if dist.is_default_process():
         save_training_meta(output_dir, config)

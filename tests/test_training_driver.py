@@ -27,7 +27,7 @@ TINY_PTV3 = {
 
 
 def _make_config(tmp_path, model_class, data_dir, extra_act=None,
-                 extra_ds=None):
+                 extra_ds=None, extra_top=None):
     act = {
         "voxel_size": 0.01, "context_channels": 32, "txt_ft_size": 512,
         "use_ee_pose": False, "use_step_id": False, "max_steps": 30,
@@ -75,6 +75,8 @@ def _make_config(tmp_path, model_class, data_dir, extra_act=None,
             "loss_config": {"pos_weight": 1.0, "rot_weight": 1.0},
         },
     })
+    for k, v in (extra_top or {}).items():
+        cfg[k] = v
     cfg.freeze()
     return cfg
 
@@ -141,3 +143,93 @@ def test_remat_and_profiler(tmp_path):
     assert all(np.isfinite(r["total"]) for r in recs if "total" in r)
     prof = os.path.join(cfg.output_dir, "profile")
     assert os.path.isdir(prof) and os.listdir(prof)
+
+
+def test_warm_start_from_checkpoint(tmp_path):
+    """Reference `config.checkpoint` warm start (train_simple_policy.py:
+    154-173): shape-filtered partial load of a pretrained model into a
+    fresh run — matching shapes load, mismatches keep their init, no
+    error on architecture drift; encoder_only keeps only backbone encoder
+    weights."""
+    import jax
+    from flax import serialization
+    from robot3dlotus_tpu.models.factory import build_model
+    from robot3dlotus_tpu.train.checkpoint import warm_start_variables
+    from robot3dlotus_tpu.train.torch_convert import flatten_tree
+    from robot3dlotus_tpu.train.trainer import init_variables
+    import __graft_entry__ as g
+
+    batch = g._fake_batch(B=2, N=128, T=4, pos_bins=5)
+    cfg1 = _make_config(tmp_path / "pre", "SimplePolicyPTV3CA", "synthetic")
+    src_model = build_model(cfg1.MODEL)
+    src_vars = init_variables(src_model, batch, jax.random.PRNGKey(0))
+    src = {"params": src_vars["params"],
+           "batch_stats": src_vars["batch_stats"]}
+    ckpt = str(tmp_path / "model_step_3.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(src))
+    src_flat = flatten_tree(src)
+
+    # fresh init with a DIFFERENT context width: those shapes must skip
+    cfg2 = _make_config(tmp_path / "arch", "SimplePolicyPTV3CA", "synthetic",
+                        extra_act={"context_channels": 48})
+    model = build_model(cfg2.MODEL)
+    fresh = init_variables(model, batch, jax.random.PRNGKey(1))
+    fresh = {"params": fresh["params"], "batch_stats": fresh["batch_stats"]}
+    fresh_flat = flatten_tree(fresh)
+
+    merged, n_loaded, n_skipped = warm_start_variables(dict(fresh), ckpt)
+    assert n_loaded > 0 and n_skipped > 0, (n_loaded, n_skipped)
+    m_flat = flatten_tree(merged)
+    for k, v in m_flat.items():
+        if k in src_flat and np.shape(src_flat[k]) == np.shape(v):
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(src_flat[k]))
+        else:  # shape mismatch (context width) keeps the fresh init
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(fresh_flat[k]))
+
+    # encoder_only: backbone encoder loads; decoder stages and the action
+    # head keep their fresh init
+    enc_only, n_enc, _ = warm_start_variables(dict(fresh), ckpt,
+                                              encoder_only=True)
+    assert 0 < n_enc < n_loaded
+    e_flat = flatten_tree(enc_only)
+    saw_dec = saw_head = False
+    for k, v in e_flat.items():
+        if "/dec0_" in k or "act_proj_head" in k:
+            saw_dec = saw_dec or "/dec0_" in k
+            saw_head = saw_head or "act_proj_head" in k
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(fresh_flat[k]))
+    assert saw_dec and saw_head
+
+
+@pytest.mark.slow
+def test_warm_start_driver_wiring(tmp_path):
+    """Driver-level `config.checkpoint` wiring: a fresh run warm-starts
+    from the given checkpoint (auto-resume absent) and says so in the log;
+    training proceeds to completion from the loaded weights."""
+    import jax
+    from flax import serialization
+    from robot3dlotus_tpu.models.factory import build_model
+    from robot3dlotus_tpu.train.trainer import init_variables
+    import __graft_entry__ as g
+
+    cfg1 = _make_config(tmp_path / "pre", "SimplePolicyPTV3CA", "synthetic")
+    src_model = build_model(cfg1.MODEL)
+    src_vars = init_variables(src_model, g._fake_batch(B=2, N=128, T=4,
+                                                       pos_bins=5),
+                              jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "pretrained.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": src_vars["params"],
+             "batch_stats": src_vars["batch_stats"]}))
+
+    cfg3 = _make_config(tmp_path / "warm", "SimplePolicyPTV3CA", "synthetic",
+                        extra_top={"checkpoint": ckpt})
+    state = train_simple_policy.main(cfg3)
+    assert int(state.step) == 3
+    log = open(os.path.join(cfg3.output_dir, "logs", "log.txt")).read()
+    assert "warm start from" in log, log[-2000:]
