@@ -294,22 +294,10 @@ class Actioner:
                 "txt_embeds": txt, "txt_mask": tmask, "ee_poses": ee,
                 "step_ids": steps}
 
-    def _stage_mesh_batch(self, batch):
-        """Commit a host dict batch to the serving mesh: batch axis over
-        'dp' and cloud point axis over 'sp' when divisible (the trainer's
-        own input layout, parallel/mesh.py batch_leaf_sharding), fully
-        replicated otherwise (B=1 under dp>1 still runs — GSPMD reshards
-        internally)."""
-        from ..parallel.mesh import replicated_sharding, shard_batch
-        B = batch["pc_fts"].shape[0]
-        if B % self.mesh.shape["dp"]:
-            return {k: jax.device_put(v, replicated_sharding(self.mesh))
-                    for k, v in batch.items()}
-        return shard_batch(batch, self.mesh)
-
     def _mesh_predict_rows(self, rows, B, T):
         """rows -> (len(rows), 8) raw decoded actions on the serving mesh."""
-        batch = self._stage_mesh_batch(self._dict_batch(rows, B, T))
+        from ..parallel.mesh import stage_eval_batch
+        batch = stage_eval_batch(self._dict_batch(rows, B, T), self.mesh)
         out = np.array(self._predict_fn(T)(self.variables, batch))
         return out[:len(rows)]
 

@@ -96,7 +96,8 @@ class MotionPlannerEngine:
     (reference build_motion_planner, robot_pipeline.py:71-79, plus the decode
     at :382-389)."""
 
-    def __init__(self, config_file, checkpoint=None, cli_opts=None):
+    def __init__(self, config_file, checkpoint=None, cli_opts=None,
+                 mesh=None):
         self.config = get_config(config_file, cli_opts)
         self.data_cfg = dict(self.config.TRAIN_DATASET)
         self.act_cfg = dict(self.config.MODEL.action_config)
@@ -115,6 +116,15 @@ class MotionPlannerEngine:
             # .msgpack or a reference-layout torch .pt (converted on load)
             self.variables = dict(load_any_model_ckpt(
                 checkpoint, self.variables, self.config.MODEL))
+        # sharded serving, same spec/env as the Actioner (one env var
+        # shards both engines of a 3D-LOTUS++ pipeline server)
+        mesh = mesh if mesh is not None else \
+            os.environ.get("ROBOT3DLOTUS_SERVE_MESH") or None
+        self.mesh = None
+        if mesh:
+            from ..parallel.mesh import mesh_from_spec, shard_variables
+            self.mesh = mesh_from_spec(mesh)
+            self.variables = shard_variables(self.variables, self.mesh)
         self._jit_cache = {}
         self._txt_dev_cache = {}
 
@@ -195,6 +205,20 @@ class MotionPlannerEngine:
             self._txt_dev_cache[ckey] = cached
         return cached
 
+    def _predict_fn_dict(self):
+        """Dict-batch program for the sharded-serving path (the mesh needs
+        the (B, N, C) layout visible to commit dp/sp shardings)."""
+        if "dict" not in self._jit_cache:
+            model, act_cfg = self.model, self.act_cfg
+
+            @jax.jit
+            def run(variables, batch):
+                preds = model.apply(variables, batch, deterministic=True)
+                return decode_mp_actions(preds, act_cfg)
+
+            self._jit_cache["dict"] = run
+        return self._jit_cache["dict"]
+
     def predict(self, pc_ft, pc_label, txt_embed, ee_pose,
                 pc_centroid, pc_radius, table_height):
         """-> (L, 9) [pos(3) quat(4) open stop], un-normalized, open/stop as
@@ -202,17 +226,26 @@ class MotionPlannerEngine:
         N = self.num_points
         n = min(len(pc_ft), N)
         cin = pc_ft.shape[-1]
-        flat = np.zeros(N * (cin + 2) + 9, np.float32)
-        flat[:n * cin] = np.asarray(pc_ft[:n], np.float32).ravel()
-        flat[N * cin:N * cin + n] = pc_label[:n]
-        flat[N * (cin + 1):N * (cin + 1) + n] = 1.0
-        flat[N * (cin + 2)] = n
-        flat[N * (cin + 2) + 1:] = np.asarray(ee_pose, np.float32)
-        txt_dev, txt_mask_dev = self._staged_txt(
-            np.asarray(txt_embed, np.float32))
-        run = self._predict_fn_flat(cin)
-        actions = np.array(run(self.variables, jnp.asarray(flat), txt_dev,
-                               txt_mask_dev))[0]  # (L, 9), writable
+        if self.mesh is not None:
+            from ..parallel.mesh import stage_eval_batch
+            batch = stage_eval_batch(self._pad_batch(
+                np.asarray(pc_ft, np.float32), np.asarray(pc_label),
+                np.asarray(txt_embed, np.float32),
+                np.asarray(ee_pose, np.float32)), self.mesh)
+            actions = np.array(self._predict_fn_dict()(
+                self.variables, batch))[0]
+        else:
+            flat = np.zeros(N * (cin + 2) + 9, np.float32)
+            flat[:n * cin] = np.asarray(pc_ft[:n], np.float32).ravel()
+            flat[N * cin:N * cin + n] = pc_label[:n]
+            flat[N * (cin + 1):N * (cin + 1) + n] = 1.0
+            flat[N * (cin + 2)] = n
+            flat[N * (cin + 2) + 1:] = np.asarray(ee_pose, np.float32)
+            txt_dev, txt_mask_dev = self._staged_txt(
+                np.asarray(txt_embed, np.float32))
+            run = self._predict_fn_flat(cin)
+            actions = np.array(run(self.variables, jnp.asarray(flat),
+                                   txt_dev, txt_mask_dev))[0]  # writable
         actions[:, 7:] = 1.0 / (1.0 + np.exp(-actions[:, 7:]))
         actions[:, :3] = actions[:, :3] * pc_radius + pc_centroid
         actions[:, 2] = np.maximum(actions[:, 2], table_height + 0.005)

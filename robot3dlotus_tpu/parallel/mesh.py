@@ -176,6 +176,17 @@ def mesh_from_spec(spec) -> Mesh:
     return make_mesh(**kw)
 
 
+def stage_eval_batch(batch: dict, mesh: Mesh) -> dict:
+    """Commit a host dict batch for sharded serving: the trainer's dp/sp
+    layouts when the batch axis divides dp, fully replicated otherwise
+    (B=1 under dp>1 still runs — GSPMD reshards internally)."""
+    B = batch["pc_fts"].shape[0]
+    if B % mesh.shape["dp"]:
+        return {k: jax.device_put(v, replicated_sharding(mesh))
+                for k, v in batch.items()}
+    return shard_batch(batch, mesh)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Host numpy batch -> device arrays, batch axis over 'dp' and cloud
     point axis over 'sp' (batch_leaf_sharding). The train/val steps leave

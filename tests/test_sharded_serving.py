@@ -52,6 +52,30 @@ def test_mesh_actioner_matches_plain(tmp_path, monkeypatch):
         np.testing.assert_allclose(r, g["action"], atol=2e-4, rtol=2e-4)
 
 
+def test_mp_engine_mesh_matches_plain(tmp_path):
+    """The motion-planner engine under a serving mesh (dict-batch program,
+    sp/tp-sharded) reproduces the flat single-device path."""
+    from robot3dlotus_tpu.eval.robot_pipeline import MotionPlannerEngine
+    from test_robot_pipeline import _write_mp_config
+
+    cfg = _write_mp_config(tmp_path)
+    plain = MotionPlannerEngine(cfg)
+    meshed = MotionPlannerEngine(cfg, mesh="sp=2,tp=2")
+    assert meshed.mesh is not None
+
+    rng = np.random.RandomState(3)
+    n = plain.num_points - 5
+    pc_ft = rng.uniform(-0.4, 0.4, (n, plain._feat_dim())).astype(np.float32)
+    labels = rng.randint(0, 4, n).astype(np.int32)
+    txt = rng.randn(2, 512).astype(np.float32)
+    ee = np.asarray([0.1, -0.2, 0.9, 0, 0, 0, 1, 1], np.float32)
+    kw = dict(pc_centroid=np.zeros(3), pc_radius=1.0, table_height=-10.0)
+    np.testing.assert_allclose(
+        plain.predict(pc_ft, labels, txt, ee, **kw),
+        meshed.predict(pc_ft, labels, txt, ee, **kw),
+        atol=2e-4, rtol=2e-4)
+
+
 def test_parse_mesh_spec():
     import pytest
     from robot3dlotus_tpu.parallel.mesh import parse_mesh_spec
