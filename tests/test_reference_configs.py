@@ -67,6 +67,35 @@ def test_reference_yaml_builds_stack(name, kind):
 
 
 @needs_ref
+def test_reference_pipeline_gt_yaml(tmp_path):
+    """The reference's robot_pipeline_gt.yaml constructs our 3D-LOTUS++
+    GT pipeline directly: same section/key schema, and its asset paths
+    (the real in-context examples + target-label-zrange files) resolve and
+    parse — the GT planner yields a parseable plan for a real taskvar."""
+    import yaml as pyyaml
+    from robot3dlotus_tpu.eval.common import parse_code
+    from robot3dlotus_tpu.eval.robot_pipeline import (
+        GroundtruthRobotPipeline, MotionPlannerEngine,
+    )
+    from test_robot_pipeline import _write_mp_config
+
+    with open(os.path.join(REF_CFG_DIR, "robot_pipeline_gt.yaml")) as f:
+        config = pyyaml.safe_load(f)
+    # the motion-planner paths are auto-set from expr_dir by the server at
+    # runtime; inject a synthetic-config engine instead
+    engine = MotionPlannerEngine(_write_mp_config(tmp_path))
+    pipe = GroundtruthRobotPipeline(config, motion_planner=engine)
+
+    plan_lines = pipe.llm_planner("push_button+0")
+    assert plan_lines, "no GT plan for push_button+0"
+    actions = [parse_code(line) for line in plan_lines]
+    assert all(a.get("action") for a in actions), actions
+
+    zr = pipe.llm_planner.estimate_height_range("bottom drawer", 0.3)
+    assert zr[0] == pytest.approx(0.0) and zr[1] == pytest.approx(0.1)
+
+
+@needs_ref
 @pytest.mark.parametrize("name,kind", [
     ("simple_policy_ptv3.yaml", "simple"),
     ("motion_planner_ptv3.yaml", "motion"),
