@@ -315,6 +315,26 @@ def build_optimizer(params, train_cfg):
     lr_multi = train_cfg.get("lr_multi") or {}
     if lr_multi:
         chain.append(_lr_multi_scaler(params, dict(lr_multi)))
+    # TRAIN.freeze_params {encoder: bool, decoder: bool}: zero the updates
+    # of the frozen backbone subtree (the reference flag's intent,
+    # train_simple_policy.py:120-123 — its 'mae_encoder' prefixes are from
+    # an older pretraining model, so the filter is expressed on this
+    # tree's names; see also checkpoint.warm_start_variables encoder_only)
+    freeze = dict(train_cfg.get("freeze_params") or {})
+    if freeze.get("encoder") or freeze.get("decoder"):
+        import re
+
+        def _frozen(path, _):
+            s = "/".join(str(getattr(p, "key", p)) for p in path)
+            if "ptv3_model" not in s:
+                return False
+            is_dec = re.search(r"dec\d+_", s) is not None
+            return bool(freeze.get("decoder") if is_dec
+                        else freeze.get("encoder"))
+
+        chain.append(optax.masked(
+            optax.set_to_zero(),
+            jax.tree_util.tree_map_with_path(_frozen, params)))
     tx = optax.chain(*chain)
 
     accum = int(train_cfg.get("gradient_accumulation_steps", 1) or 1)

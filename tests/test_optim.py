@@ -121,3 +121,39 @@ def test_build_optimizer_dispatch(opt_name):
     k = np.asarray(new["dense"]["kernel"])
     assert np.all(np.isfinite(k))
     assert not np.allclose(k, 1.0)
+
+
+def test_freeze_params_masks_updates():
+    """TRAIN.freeze_params zeroes the frozen backbone subtree's updates
+    (reference train_simple_policy.py:120-123 intent, expressed on this
+    tree's names): encoder frozen -> enc/stem params unchanged, decoder
+    and heads still train; decoder flag freezes dec stages instead."""
+    import jax
+    import jax.numpy as jnp
+    from robot3dlotus_tpu.train.optim import build_optimizer
+
+    params = {
+        "ptv3_model": {
+            "enc0_block0": {"kernel": jnp.ones((4, 4))},
+            "embedding_stem_conv": {"weight": jnp.ones((3, 4))},
+            "dec0_up": {"kernel": jnp.ones((4, 4))},
+        },
+        "act_proj_head": {"kernel": jnp.ones((4, 2))},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    cfg = dict(optim="adamw", learning_rate=1e-2, lr_sched="cosine",
+               warmup_steps=0, num_train_steps=100, weight_decay=0.0,
+               freeze_params={"encoder": True})
+    tx, _ = build_optimizer(params, cfg)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(upd["ptv3_model"]["enc0_block0"]["kernel"]).max()) == 0
+    assert float(jnp.abs(
+        upd["ptv3_model"]["embedding_stem_conv"]["weight"]).max()) == 0
+    assert float(jnp.abs(upd["ptv3_model"]["dec0_up"]["kernel"]).max()) > 0
+    assert float(jnp.abs(upd["act_proj_head"]["kernel"]).max()) > 0
+
+    cfg["freeze_params"] = {"decoder": True}
+    tx, _ = build_optimizer(params, cfg)
+    upd, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(upd["ptv3_model"]["dec0_up"]["kernel"]).max()) == 0
+    assert float(jnp.abs(upd["ptv3_model"]["enc0_block0"]["kernel"]).max()) > 0
