@@ -92,7 +92,7 @@ def _merge_tree(dst, src, ckpt, path=""):
 
 
 def warm_start_variables(variables, path, model_cfg=None,
-                         encoder_only=False):
+                         encoder_only=False, strict=False):
     """Shape-filtered partial load for warm-starting training from a
     pretrained model (reference train_simple_policy.py:154-173: only keys
     that exist in the target with matching shapes load; everything else
@@ -120,15 +120,31 @@ def warm_start_variables(variables, path, model_cfg=None,
                              "batch_stats": variables.get("batch_stats",
                                                           {})})
     n_loaded = n_skipped = 0
+    loaded_keys = set()
     for k, v in src_flat.items():
         keep = (not encoder_only) or (
             "/ptv3_model/" in k and not re.search(r"/dec\d+_", k))
         if keep and k in dst_flat and \
                 tuple(np.shape(v)) == tuple(dst_flat[k].shape):
             dst_flat[k] = np.asarray(v).astype(dst_flat[k].dtype)
+            loaded_keys.add(k)
             n_loaded += 1
         else:
             n_skipped += 1
+    if strict:
+        # reference checkpoint_strict_load: the checkpoint must cover every
+        # model tensor. Under encoder_only, only the filter-eligible
+        # (encoder) tensors must be covered — torch's strict load would
+        # always raise on the deliberately-filtered rest, which makes the
+        # combination unusable, so this is the sensible reading.
+        want = {k for k in dst_flat
+                if (not encoder_only) or (
+                    "/ptv3_model/" in k and not re.search(r"/dec\d+_", k))}
+        uncovered = sorted(want - loaded_keys)
+        if uncovered:
+            raise ValueError(
+                f"checkpoint_strict_load: {path} leaves {len(uncovered)} "
+                f"model tensors uninitialized, e.g. {uncovered[:5]}")
     return unflatten_tree(dst_flat), n_loaded, n_skipped
 
 

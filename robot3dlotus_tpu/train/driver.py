@@ -157,7 +157,8 @@ def run_training(config, spec: TaskSpec):
             {"params": jax.device_get(state.params),
              "batch_stats": jax.device_get(state.batch_stats)},
             warm, config.MODEL,
-            encoder_only=config.TRAIN.get("resume_encoder_only", False))
+            encoder_only=config.TRAIN.get("resume_encoder_only", False),
+            strict=config.get("checkpoint_strict_load", False))
         state = state.replace(params=merged["params"],
                               batch_stats=merged["batch_stats"])
         logger.info(f"warm start from {warm}: {n_loaded} tensors loaded, "

@@ -204,6 +204,26 @@ def test_warm_start_from_checkpoint(tmp_path):
                                           np.asarray(fresh_flat[k]))
     assert saw_dec and saw_head
 
+    # strict (reference checkpoint_strict_load): the filtered checkpoint
+    # must cover every model tensor — the context-width mismatch above
+    # leaves some uninitialized, so strict raises
+    with pytest.raises(ValueError, match="checkpoint_strict_load"):
+        warm_start_variables(dict(fresh), ckpt, strict=True)
+    # ...and passes when the architectures agree exactly
+    model_same = build_model(cfg1.MODEL)
+    fresh_same = init_variables(model_same, batch, jax.random.PRNGKey(2))
+    _, n_all, _ = warm_start_variables(
+        {"params": fresh_same["params"],
+         "batch_stats": fresh_same["batch_stats"]}, ckpt, strict=True)
+    assert n_all > 0
+    # strict + encoder_only: only the eligible (encoder) tensors must be
+    # covered — the deliberately-filtered decoder/head keys don't raise
+    _, n_enc2, _ = warm_start_variables(
+        {"params": fresh_same["params"],
+         "batch_stats": fresh_same["batch_stats"]}, ckpt,
+        encoder_only=True, strict=True)
+    assert 0 < n_enc2 < n_all
+
 
 @pytest.mark.slow
 def test_warm_start_driver_wiring(tmp_path):
