@@ -108,7 +108,7 @@ def bench_latency(num_calls=None, warmup=5):
             make_obs_to_action, obb_params_np,
         )
         fused = make_obs_to_action(
-            model, None, RELEASE_ACT,
+            model, RELEASE_ACT,
             dict(rm_table=True, rm_robot="box_keep_gripper",
                  xyz_shift="center", xyz_norm=False, use_height=True),
             ws, N, vox_capacity=8192)
@@ -155,11 +155,11 @@ def bench_latency(num_calls=None, warmup=5):
                 np.asarray([0.3, 0, 1.0, 0, 0, 0, 1, 1], np.float32),
                 [np.float32(step % (1 << 22))]]).astype(np.float32)
             t1 = time.perf_counter()
-            action, _count, _ovf = fused(
+            packed = np.asarray(fused(
                 variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
                 np.int32(len(xyz)), jnp.asarray(obb_vec), txt_dev[0],
-                txt_mask_dev[0], jnp.asarray(step_ee_key))
-            action = np.asarray(action)
+                txt_mask_dev[0], jnp.asarray(step_ee_key)))
+            action = packed[:8]  # [action | count | vox_overflow]
             t2 = time.perf_counter()
             return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3
         from robot3dlotus_tpu.native import crop_voxelize_trace_native

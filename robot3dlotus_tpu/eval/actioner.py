@@ -429,7 +429,7 @@ class Actioner:
         if self._obs_to_action is None:
             from ..ops.eval_preprocess import make_obs_to_action
             self._obs_to_action = make_obs_to_action(
-                self.model, None, self.act_cfg, self.data_cfg,
+                self.model, self.act_cfg, self.data_cfg,
                 self.WORKSPACE, self.num_points,
                 vox_capacity=int(os.environ.get(
                     "ROBOT3DLOTUS_VOX_CAPACITY", "8192")))
@@ -462,10 +462,9 @@ class Actioner:
                 keep_gripper=self.data_cfg["rm_robot"] == "box_keep_gripper",
                 env_name="real" if self.real_robot else "rlbench")
             obb = obb_params_np(box)
-        else:  # zero-size half extents: the inside test never fires
-            obb = {"obb_rot": np.zeros((3, 3), np.float32),
-                   "obb_off": np.zeros(3, np.float32),
-                   "obb_half": np.zeros(3, np.float32)}
+        else:  # negative half extents: the inside test never fires
+            from ..ops.eval_preprocess import obb_params_disabled
+            obb = obb_params_disabled()
         obb_vec = np.concatenate([
             np.ascontiguousarray(obb["obb_rot"], np.float32).ravel(),
             obb["obb_off"], obb["obb_half"]]).astype(np.float32)
@@ -477,24 +476,28 @@ class Actioner:
             [np.float32(step_id)], np.asarray(ee_pose, np.float32),
             [np.float32(self._step_counter % (1 << 22))]]).astype(np.float32)
         fn = self._fused_fn()
-        action, count, vox_overflow = fn(
+        # ONE packed readback: [action (8) | count | vox_overflow] — three
+        # separate fetches would pay three link round trips per step
+        packed = np.array(fn(
             self.variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
             np.int32(n), jnp.asarray(obb_vec), txt_dev, txt_mask_dev,
-            jnp.asarray(step_ee_key))
-        action = np.array(action)
-        # host path's empty/tiny-cloud guard (predict below): a cloud the
-        # crop/robot-removal emptied must yield the safe zero action, not
-        # a forward over pure padding
-        if int(count) <= 10:
-            action = np.zeros(8, np.float32)
-            action[2] = self.TABLE_HEIGHT + 0.005
-            return action
-        if int(vox_overflow) > 0:
+            jnp.asarray(step_ee_key)))
+        action, count, vox_overflow = packed[:8], int(packed[8]), \
+            int(packed[9])
+        if vox_overflow > 0:
+            # surfaced BEFORE the tiny-cloud guard: a capacity far too
+            # small manifests exactly as count<=10, and the operator needs
+            # the diagnosis, not just silent zero actions
             import logging
             logging.getLogger(__name__).warning(
                 "fused voxelizer dropped %d occupied voxels past capacity "
                 "(a contiguous workspace corner) — raise "
-                "ROBOT3DLOTUS_VOX_CAPACITY", int(vox_overflow))
+                "ROBOT3DLOTUS_VOX_CAPACITY", vox_overflow)
+        # host path's empty/tiny-cloud guard (predict below): a cloud the
+        # crop/robot-removal emptied must yield the safe zero action, not
+        # a forward over pure padding
+        if count <= 10:
+            return self._zero_action()
         action[-1] = float(1.0 / (1.0 + np.exp(-action[-1])) > 0.5)
         return action
 

@@ -22,7 +22,6 @@ CPU time (bench.py reports the decomposition for both modes).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import numpy as np
@@ -32,10 +31,25 @@ import jax.numpy as jnp
 from .voxel import voxelize_fixed_jnp
 
 
+def obb_params_disabled() -> Dict[str, np.ndarray]:
+    """OBB parameters that remove nothing: NEGATIVE half extents make
+    |local| <= half false on every axis. (All-zero parameters would do the
+    opposite — |p@0 - 0| <= 0 holds everywhere, removing EVERY point.)"""
+    return {
+        "obb_rot": np.zeros((3, 3), np.float32),
+        "obb_off": np.zeros(3, np.float32),
+        "obb_half": np.full(3, -1.0, np.float32),
+    }
+
+
 def obb_params_np(box) -> Dict[str, np.ndarray]:
     """RobotBox -> stacked OBB test parameters for the device:
     point p is inside box k iff |p @ rot_cat[:, 3k:3k+3] - off[3k:3k+3]|
-    <= half[3k:3k+3] on every axis (utils/robot_box.py:76-99)."""
+    <= half[3k:3k+3] on every axis (utils/robot_box.py:76-99). A box list
+    that resolved to zero links (the host path's point_mask returns
+    all-False for it) degrades to the remove-nothing parameters."""
+    if not box.boxes:
+        return obb_params_disabled()
     rot_cat, off, half = box._stack()[:3]
     return {
         "obb_rot": np.ascontiguousarray(rot_cat, np.float32),   # (3, 3K)
@@ -54,8 +68,9 @@ def device_preprocess(
     ee_pose_normalized). All shapes static; traced under jit.
 
     xyz_raw/rgb_raw: (R, 3) float32 (rgb in 0..255); raw_valid: (R,) bool.
-    obb_*: stacked robot link boxes (obb_params_np); pass zero-size half
-    extents (or rm_robot=False) to disable removal.
+    obb_*: stacked robot link boxes (obb_params_np); pass NEGATIVE half
+    extents (obb_params_disabled) or rm_robot=False to disable removal —
+    zero half extents would remove everything (|p@0 - 0| <= 0 is true).
     """
     ws = workspace
     m = (
@@ -117,18 +132,19 @@ def device_preprocess(
     return pc_ft, mask, count, centroid, radius, ee, vox_overflow
 
 
-def make_obs_to_action(model, variables_treedef_hint, act_cfg, data_cfg,
+def make_obs_to_action(model, act_cfg, data_cfg,
                        workspace, num_points, vox_capacity=8192):
     """Build the fused obs->action jitted callable.
 
     Returns fn(variables, xyz_raw (R,3), rgb_raw (R,3), n_raw (),
     obb_vec (15K,), txt_embeds, txt_mask, step_ee_key (10,))
-    -> (action (8,), count (), vox_overflow ()).
+    -> one packed (10,) float32 vector [action (8) | count | vox_overflow]
+    so the caller pays ONE device->host fetch per step, not three.
 
-    Per-call inputs ride FEW transfers (each one pays link latency —
-    ~1 ms RPC on a tunneled device, ~20 us over PCIe): the raw validity
-    mask is derived on device from the scalar n_raw, the K robot link
-    boxes arrive as one packed vector (obb_rot.ravel() | obb_off |
+    Per-call inputs likewise ride FEW transfers (each one pays link
+    latency — ~1 ms RPC on a tunneled device, ~20 us over PCIe): the raw
+    validity mask is derived on device from the scalar n_raw, the K robot
+    link boxes arrive as one packed vector (obb_rot.ravel() | obb_off |
     obb_half, K = len//15), and step_ee_key packs [step_id, ee_pose(8),
     key_seed]. Text embeddings should be device-staged by the caller
     (Actioner._staged_txt).
@@ -141,6 +157,12 @@ def make_obs_to_action(model, variables_treedef_hint, act_cfg, data_cfg,
     fixed-capacity voxelizer — surface it, don't ignore it.
     """
     from ..models.simple_policy import decode_actions
+
+    if vox_capacity < num_points:
+        raise ValueError(
+            f"vox_capacity ({vox_capacity}) < num_points ({num_points}): "
+            "the subsample stage would silently emit fewer rows than the "
+            "model was trained with — raise ROBOT3DLOTUS_VOX_CAPACITY")
 
     voxel_size = float(act_cfg.get("voxel_size", 0.01))
     rm_table = bool(data_cfg.get("rm_table", True))
@@ -182,6 +204,9 @@ def make_obs_to_action(model, variables_treedef_hint, act_cfg, data_cfg,
         action = decode_actions(preds, act_cfg)[0]         # (8,)
         pos = action[:3] * radius + centroid
         pos = pos.at[2].set(jnp.maximum(pos[2], table_h + 0.005))
-        return jnp.concatenate([pos, action[3:]]), count, vox_overflow
+        return jnp.concatenate([
+            pos, action[3:],
+            count.astype(jnp.float32)[None],
+            vox_overflow.astype(jnp.float32)[None]])
 
     return fn

@@ -232,3 +232,26 @@ def test_consumer_single_item_failure_predicts_once():
     assert act.calls == 1
     out = result_queues[0].get_nowait()
     assert "error" in out and np.all(out["action"] == 0)
+
+
+def test_actioner_device_preprocess_path(tmp_path):
+    """Drives Actioner._device_predict (fused on-device preprocessing,
+    single packed readback). The tiny config has no rm_robot, so this
+    also regression-tests the disabled-OBB recipe: a wrong 'disabled'
+    parameterization removes EVERY voxel and the count guard would emit
+    the zero action."""
+    a = _actioner(tmp_path, device_preprocess=True)
+    assert a.device_preprocess
+    rng = np.random.RandomState(4)
+    ws_lo, ws_hi = np.array([-0.3, -0.5, 0.76]), np.array([0.7, 0.5, 1.6])
+    xyz = (rng.uniform(0, 1, (600, 3)) * (ws_hi - ws_lo) + ws_lo
+           ).astype(np.float32)
+    rgb = rng.uniform(0, 255, (600, 3)).astype(np.float32)
+    p = _payload(0, xyz, rgb)
+    out = a.predict(**p)["action"]
+    assert out.shape == (8,) and np.all(np.isfinite(out))
+    zero_guard = a._zero_action()
+    assert not np.array_equal(out, zero_guard), \
+        "fused path emitted the empty-cloud guard action: OBB removal " \
+        "likely removed everything"
+    assert out[-1] in (0.0, 1.0)

@@ -185,7 +185,7 @@ def test_fused_obs_to_action_matches_host_pipeline():
     # fused path
     data_cfg = dict(rm_table=True, rm_robot="box_keep_gripper",
                     xyz_shift="center", xyz_norm=False, use_height=True)
-    fused = make_obs_to_action(model, None, act, data_cfg, ws, N,
+    fused = make_obs_to_action(model, act, data_cfg, ws, N,
                                vox_capacity=4096)
     cap = 16384
     raw_xyz = np.zeros((cap, 3), np.float32)
@@ -201,13 +201,13 @@ def test_fused_obs_to_action_matches_host_pipeline():
         obb["obb_off"], obb["obb_half"]]).astype(np.float32)
     step_ee_key = np.concatenate(
         [[np.float32(0)], ee, [np.float32(3)]]).astype(np.float32)
-    dev_action, dev_count, dev_ovf = fused(
+    packed = np.asarray(fused(
         variables, jnp.asarray(raw_xyz), jnp.asarray(raw_rgb),
         np.int32(len(xyz)), jnp.asarray(obb_vec), jnp.asarray(txt),
-        jnp.ones(T, bool), jnp.asarray(step_ee_key))
-    dev_action = np.asarray(dev_action)
-    assert int(dev_count) == len(host_xyz)
-    assert int(dev_ovf) == 0
+        jnp.ones(T, bool), jnp.asarray(step_ee_key)))
+    dev_action = packed[:8]  # one packed readback: [action|count|overflow]
+    assert int(packed[8]) == len(host_xyz)
+    assert int(packed[9]) == 0
 
     np.testing.assert_allclose(dev_action[:3], host_action[:3], atol=2e-4,
                                err_msg="position")
@@ -215,3 +215,48 @@ def test_fused_obs_to_action_matches_host_pipeline():
                                err_msg="quaternion")
     np.testing.assert_allclose(dev_action[7], host_action[7], atol=1e-3,
                                err_msg="open logit")
+
+
+def test_obb_disabled_removes_nothing_and_empty_box_degrades():
+    """Negative half extents are the remove-nothing recipe; all-zero
+    parameters would remove EVERYTHING (|p@0 - 0| <= 0 holds). An empty
+    RobotBox degrades to the remove-nothing recipe like the host path."""
+    from robot3dlotus_tpu.ops.eval_preprocess import obb_params_disabled
+
+    xyz, rgb, arm = _raw_obs(points=4000)
+    ws = get_robot_workspace()
+    cap = 8192
+    raw_xyz = np.zeros((cap, 3), np.float32)
+    raw_rgb = np.zeros((cap, 3), np.float32)
+    raw_xyz[:len(xyz)] = xyz
+    raw_rgb[:len(rgb)] = rgb
+    valid = np.arange(cap) < len(xyz)
+
+    def run(obb):
+        out = device_preprocess(
+            jnp.asarray(raw_xyz), jnp.asarray(raw_rgb), jnp.asarray(valid),
+            jnp.asarray(obb["obb_rot"]), jnp.asarray(obb["obb_off"]),
+            jnp.asarray(obb["obb_half"]),
+            jnp.asarray([0, 0, 1, 0, 0, 0, 1, 1], jnp.float32),
+            jax.random.PRNGKey(0), workspace=ws, num_points=1024,
+            voxel_size=0.01, vox_capacity=4096, rm_robot=True)
+        return int(out[2])  # count
+
+    n_disabled = run(obb_params_disabled())
+    host_xyz, _ = _host_chain(xyz, rgb, arm, ws, rm_robot=False)
+    assert n_disabled == min(len(host_xyz), 1024)
+
+    # an empty box list must behave like the disabled recipe, not crash
+    class _EmptyBox:
+        boxes = []
+
+    obb_empty = obb_params_np(_EmptyBox())
+    assert np.all(obb_empty["obb_half"] < 0)
+    assert run(obb_empty) == n_disabled
+
+
+def test_make_obs_to_action_rejects_small_capacity():
+    from robot3dlotus_tpu.ops.eval_preprocess import make_obs_to_action
+    with pytest.raises(ValueError, match="vox_capacity"):
+        make_obs_to_action(None, {}, {}, get_robot_workspace(),
+                           num_points=4096, vox_capacity=2048)
