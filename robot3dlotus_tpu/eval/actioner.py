@@ -490,9 +490,11 @@ class Actioner:
             # the diagnosis, not just silent zero actions
             import logging
             logging.getLogger(__name__).warning(
-                "fused voxelizer dropped %d occupied voxels past capacity "
-                "(a contiguous workspace corner) — raise "
-                "ROBOT3DLOTUS_VOX_CAPACITY", vox_overflow)
+                "fused voxelizer dropped %d occupied voxels/points "
+                "(capacity exceeded — a contiguous workspace corner — "
+                "and/or points past the 2^depth grid extent); raise "
+                "ROBOT3DLOTUS_VOX_CAPACITY or check voxel_size",
+                vox_overflow)
         # host path's empty/tiny-cloud guard (predict below): a cloud the
         # crop/robot-removal emptied must yield the safe zero action, not
         # a forward over pure padding

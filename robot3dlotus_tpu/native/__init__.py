@@ -29,8 +29,33 @@ _TRIED = False
 def _build(so_path):
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
            _SRC, "-o", so_path]
-    subprocess.check_call(cmd, stdout=subprocess.DEVNULL,
-                          stderr=subprocess.DEVNULL)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        # surface the compiler diagnostics: a bare CalledProcessError gives
+        # the operator nothing to act on
+        raise RuntimeError(
+            f"g++ failed (rc={proc.returncode}) for {' '.join(cmd)}:\n"
+            f"{proc.stderr[-2000:]}")
+
+
+def _cpu_tag():
+    """Short tag of this host's ISA: the .so is built -march=native, so a
+    cache hit from a different CPU (shared filesystem across heterogeneous
+    nodes) would load fine and then SIGILL at first call — something the
+    numpy-fallback try/except cannot catch. Tagging the filename makes each
+    host type build its own."""
+    import hashlib
+    import platform
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    txt += line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(txt.encode()).hexdigest()[:8]
 
 
 def get_lib():
@@ -42,7 +67,7 @@ def get_lib():
     _TRIED = True
     if os.environ.get("ROBOT3DLOTUS_NATIVE", "1") == "0":
         return None
-    so_path = os.path.join(_HERE, "_voxelize.so")
+    so_path = os.path.join(_HERE, f"_voxelize-{_cpu_tag()}.so")
     try:
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):

@@ -186,6 +186,10 @@ long voxelize_core(const float* xyz, long n, float voxel_size,
         size_t h = mix(static_cast<uint64_t>(key)) & hmask;
         while (keys[h] != -1 && keys[h] != key) h = (h + 1) & hmask;
         if (keys[h] == -1) {
+            // slot ids are int32: bail (caller falls back to numpy) before
+            // a >2^31-voxel cloud would wrap them negative — the dense
+            // engine has the matching kDenseMaxSlots guard
+            if (m >= 0x7fffffffL) return -1;
             keys[h] = key;
             slot[h] = static_cast<int32_t>(m);
             pay.add_new(x, y, z, i);

@@ -260,3 +260,45 @@ def test_make_obs_to_action_rejects_small_capacity():
     with pytest.raises(ValueError, match="vox_capacity"):
         make_obs_to_action(None, {}, {}, get_robot_workspace(),
                            num_points=4096, vox_capacity=2048)
+
+
+def test_voxelize_fixed_jnp_drops_out_of_extent_loudly():
+    """Points whose grid coordinate exceeds the 2^depth extent are DROPPED
+    and counted in overflow — clipping them into a boundary voxel would
+    silently corrupt that voxel's mean/first gather."""
+    from robot3dlotus_tpu.ops.voxel import voxelize_fixed_jnp
+
+    xyz = np.array([[0.0, 0.0, 0.0],
+                    [0.05, 0.0, 0.0],
+                    [9.99, 0.0, 0.0]],  # 999 cells past a 2^6=64 extent
+                   np.float32)
+    mask = np.ones(3, bool)
+    means, vmask, first, overflow = voxelize_fixed_jnp(
+        jnp.asarray(xyz), jnp.asarray(mask), 0.01, capacity=16, depth=6)
+    assert int(overflow) == 1  # the far point, not a clipped merge
+    assert int(vmask.sum()) == 2
+    got = np.asarray(means)[np.asarray(vmask)]
+    np.testing.assert_allclose(sorted(got[:, 0]), [0.0, 0.05], atol=1e-6)
+
+    # capacity overflow still counts on top (exact integer coords so no
+    # float-division cell merging)
+    many = np.arange(32, dtype=np.float32)[:, None] * \
+        np.array([1.0, 0, 0], np.float32)
+    _, vm2, _, ovf2 = voxelize_fixed_jnp(
+        jnp.asarray(many), jnp.ones(32, bool), 1.0, capacity=8, depth=6)
+    assert int(ovf2) == 24 and int(vm2.sum()) == 8
+
+
+def test_voxelize_pcd_np_float64_stays_numpy():
+    """float64 input must NOT be routed through the float32 native path:
+    the cast moves boundary points across voxel edges, so results would
+    depend on compiler availability. (0.00999999999999999 rounds to
+    exactly 0.01f.)"""
+    xyz64 = np.array([[0.0, 0.0, 0.0],
+                      [0.00999999999999999, 0.0, 0.0],
+                      [0.02, 0.0, 0.0]], np.float64)
+    means, first = voxelize_pcd_np(xyz64, 0.01)
+    assert means.dtype == np.float64
+    assert len(means) == 2  # pts 0+1 share the first voxel in f64
+    means32, _ = voxelize_pcd_np(xyz64.astype(np.float32), 0.01)
+    assert len(means32) == 3  # after the f32 cast they do not
