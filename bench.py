@@ -333,7 +333,7 @@ def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
     ds = KeystepDataset(store, num_points=num_points, augment_pc=True,
                         pos_type="disc", pos_bins=15)
     loader = KeystepBatchLoader(
-        ds, num_clouds=batch_clouds, num_points=num_points, pos_bins=15,
+        ds, num_clouds=batch_clouds, num_points=num_points,
         num_workers=int(os.environ.get("BENCH_LOADER_WORKERS", "4")),
         process_index=0, process_count=1)
     it = iter(loader)

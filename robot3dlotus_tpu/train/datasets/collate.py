@@ -23,7 +23,7 @@ TXT_BUCKETS = (4, 8, 16, 32, 80)
 
 
 def collate_keystep_samples(
-    samples: List[Dict], num_points: int, pos_bins: int = None,
+    samples: List[Dict], num_points: int,
     txt_buckets: Sequence[int] = TXT_BUCKETS, num_clouds: int = None,
 ) -> Dict[str, np.ndarray]:
     """samples: flat list of step dicts from KeystepDataset.
@@ -51,8 +51,11 @@ def collate_keystep_samples(
     steps = np.zeros(B, np.int32)
     centroids = np.zeros((B, 3), np.float32)
     radius = np.zeros(B, np.float32)
-    has_probs = "disc_pos_probs" in samples[0]
-    probs = np.zeros((B, 3, N * 2 * pos_bins), np.float32) if has_probs else None
+    # NOTE: samples never carry precomputed disc_pos_probs — the loaders
+    # ship (gt_pos, robot_point_mask) and the GT prob tensor is built
+    # inside the jitted train step (models build_disc_pos_targets); the
+    # loss functions still accept a batch-level disc_pos_probs override
+    # for golden tests.
     has_rm = "robot_point_mask" in samples[0]
     robot_mask = np.zeros((B, N), bool) if has_rm else None
 
@@ -70,11 +73,6 @@ def collate_keystep_samples(
         steps[i] = s["step_ids"]
         centroids[i] = s["pc_centroids"]
         radius[i] = s["pc_radius"]
-        if has_probs:
-            # (3, n*nb) -> scatter into (3, N*nb) preserving per-point blocks
-            nb = 2 * pos_bins
-            src = s["disc_pos_probs"].reshape(3, -1, nb)[:, :n]
-            probs[i].reshape(3, N, nb)[:, :n] = src
         if has_rm:
             robot_mask[i, :n] = s["robot_point_mask"][:n]
 
@@ -84,8 +82,6 @@ def collate_keystep_samples(
         "gt_actions": gt, "step_ids": steps, "batch_valid": batch_valid,
         "pc_centroids": centroids, "pc_radius": radius,
     }
-    if has_probs:
-        out["disc_pos_probs"] = probs.reshape(B, 3, N * 2 * pos_bins)
     if has_rm:
         out["pc_robot_mask"] = robot_mask
     return out

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import copy
 import json
-import random
 import zlib
 from typing import Dict, List, Optional
 
@@ -155,9 +154,15 @@ class KeystepDataset:
             return np.concatenate([o, o[-1:]], 0)
         raise ValueError(self.rot_type)
 
-    def _instr_embed(self, taskvar):
+    def _instr_embed(self, taskvar, rng=None):
         if self.taskvar_instrs and self.instr_embeds:
-            instr = random.choice(self.taskvar_instrs[taskvar])
+            # draw through the dataset/per-episode numpy RNG, NOT the
+            # process-global random module: pool threads interleaving into
+            # the global state would make instruction choice depend on
+            # thread scheduling, and it is never seeded by the driver
+            rng = rng if rng is not None else self.rng
+            instrs = self.taskvar_instrs[taskvar]
+            instr = instrs[int(rng.randint(len(instrs)))]
             return np.asarray(self.instr_embeds[instr], np.float32)
         # synthetic: deterministic pseudo-embedding per taskvar
         # stable across processes (Python hash() varies with PYTHONHASHSEED)
@@ -171,9 +176,11 @@ class KeystepDataset:
         keep = clf.fit_predict(xyz) == 1
         return xyz[keep], rgb[keep]
 
-    def get_episode_samples(self, taskvar, episode) -> List[Dict]:
+    def get_episode_samples(self, taskvar, episode, rng=None) -> List[Dict]:
         data = self.store.get(taskvar, episode)
-        rng = self.rng
+        # worker pools pass a per-episode rng so augmentation stays
+        # deterministic under concurrency (loader.py _load)
+        rng = rng if rng is not None else self.rng
         actions = np.asarray(data["action"], np.float32)
         gt_rots = self._gt_rotations(actions[:, 3:7])
         num_steps = len(data["xyz"])
@@ -269,7 +276,7 @@ class KeystepDataset:
             sample = {
                 "data_id": f"{taskvar}-{episode}-t{t}",
                 "pc_fts": pc_ft.astype(np.float32),
-                "txt_embeds": self._instr_embed(taskvar),
+                "txt_embeds": self._instr_embed(taskvar, rng),
                 "ee_poses": ee_pose.astype(np.float32),
                 "gt_actions": gt_out,
                 "step_ids": t,

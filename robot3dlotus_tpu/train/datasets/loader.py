@@ -34,15 +34,21 @@ class KeystepBatchLoader:
     cloud count (the reference's variable clouds-per-batch becomes static).
     """
 
-    def __init__(self, dataset, num_clouds, num_points, pos_bins=None,
-                 shuffle=True, seed=0, process_index=None, process_count=None,
-                 infinite=True, collate_fn=None, num_workers=0):
+    def __init__(self, dataset, num_clouds, num_points,
+                 shuffle=True, seed=0, shuffle_seed=None, process_index=None,
+                 process_count=None, infinite=True, collate_fn=None,
+                 num_workers=0):
         self.dataset = dataset
         self.num_clouds = num_clouds
         self.num_points = num_points
-        self.pos_bins = pos_bins
         self.shuffle = shuffle
         self.seed = seed
+        # the shuffle permutation must be IDENTICAL on every host or the
+        # ids[rank::world] shards overlap/miss episodes (DistributedSampler
+        # uses one world-shared seed for exactly this reason) — callers that
+        # pass a per-process `seed` (for augmentation diversity) must pass
+        # the process-invariant base seed here
+        self.shuffle_seed = seed if shuffle_seed is None else shuffle_seed
         self.infinite = infinite
         # worker-pool parity with the reference DataLoader num_workers=4
         # (loader.py:155-164): a thread pool prepares episodes ahead of the
@@ -52,8 +58,7 @@ class KeystepBatchLoader:
         self.num_workers = int(num_workers)
         if collate_fn is None:
             collate_fn = lambda chunk: collate_keystep_samples(
-                chunk, self.num_points, pos_bins=self.pos_bins,
-                num_clouds=self.num_clouds)
+                chunk, self.num_points, num_clouds=self.num_clouds)
         self.collate_fn = collate_fn
         self.process_index = (process_index if process_index is not None
                               else jax.process_index())
@@ -64,7 +69,7 @@ class KeystepBatchLoader:
         n = len(self.dataset)
         ids = np.arange(n)
         if self.shuffle:
-            rng = np.random.RandomState(self.seed + epoch)
+            rng = np.random.RandomState(self.shuffle_seed + epoch)
             rng.shuffle(ids)
         # per-host shard (DistributedSampler equivalent)
         return ids[self.process_index::self.process_count]
@@ -83,7 +88,8 @@ class KeystepBatchLoader:
             pending = deque()
             it = iter(ids)
             for idx in it:
-                pending.append((int(idx), pool.submit(self._load, int(idx))))
+                pending.append((int(idx),
+                                pool.submit(self._load, int(idx), epoch)))
                 if len(pending) >= depth:
                     i, fut = pending.popleft()
                     yield i, fut.result()
@@ -91,8 +97,18 @@ class KeystepBatchLoader:
                 i, fut = pending.popleft()
                 yield i, fut.result()
 
-    def _load(self, idx):
+    def _load(self, idx, epoch=0):
         try:
+            if self.num_workers > 0 and \
+                    hasattr(self.dataset, "get_episode_samples"):
+                # per-episode derived RNG: pool threads drawing from the
+                # dataset's one shared RandomState would make augmentation
+                # depend on thread scheduling, voiding seeded repro (the
+                # reference DataLoader derives per-worker seeds the same way)
+                rng = np.random.RandomState(
+                    (self.seed * 1000003 + epoch * 9176 + idx) % (2 ** 31))
+                tv, ep = self.dataset.data_ids[idx]
+                return self.dataset.get_episode_samples(tv, ep, rng=rng)
             return self.dataset[idx]
         except Exception as e:  # marshalled to the consumer thread
             return e
@@ -101,6 +117,14 @@ class KeystepBatchLoader:
         epoch = 0
         buf = []
         consecutive_failures = 0
+        if self.infinite and len(self._epoch_ids(0)) == 0:
+            # a finite loader with an empty shard legitimately yields
+            # nothing; an INFINITE one would spin forever yielding nothing
+            raise ValueError(
+                f"empty per-host shard: dataset has {len(self.dataset)} "
+                f"episodes over {self.process_count} processes (host "
+                f"{self.process_index}) — the infinite loader would spin "
+                "forever yielding nothing")
         while True:
             for idx, samples in self._episodes(epoch):
                 if isinstance(samples, Exception):
@@ -154,13 +178,18 @@ class MetaLoader:
         self.rng = np.random.RandomState(seed)
         self.step = 0
 
+        self._task_id = 0
+
     def __iter__(self):
-        task_id = 0
+        # step AND task_id live on self: a re-created iterator mid-accum-
+        # window (validation break, preemption resume) must keep serving
+        # the window's drawn task, or hosts desync from the shared RNG
         while True:
             if self.step % self.accum_steps == 0:
-                task_id = int(self.rng.choice(len(self.names), p=self.probs))
+                self._task_id = int(
+                    self.rng.choice(len(self.names), p=self.probs))
             self.step += 1
-            task = self.names[task_id]
+            task = self.names[self._task_id]
             try:
                 batch = next(self.name2iter[task])
             except StopIteration:
@@ -170,35 +199,79 @@ class MetaLoader:
 
 
 class PrefetchToDevice:
-    """Background thread: host batch -> device (sharded) ahead of compute."""
+    """Background thread: host batch -> device (sharded) ahead of compute.
+
+    `close()` releases the producer thread and the queued device batches —
+    call it when abandoning the iterator early (the driver does on exit),
+    otherwise up to depth+1 device-resident batches stay pinned and the
+    upstream loader chain stays alive for the rest of the process."""
 
     def __init__(self, it, mesh=None, depth=2):
         self.it = iter(it)
         self.mesh = mesh
         self.q = queue.Queue(maxsize=depth)
+        self._closed = False
+        self._done = False
         self.thread = threading.Thread(target=self._work, daemon=True)
         self.thread.start()
+
+    def _put(self, item) -> bool:
+        """put that gives up when close() was called (the consumer is gone;
+        blocking forever would pin the queued device buffers)."""
+        while not self._closed:
+            try:
+                self.q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _work(self):
         from ...parallel.mesh import shard_batch
         try:
             for batch in self.it:
+                if self._closed:
+                    return
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
-                self.q.put(batch)
+                if not self._put(batch):
+                    return
         except Exception as e:  # surface errors on the consumer side
-            self.q.put(e)
-        self.q.put(StopIteration())
+            self._put(e)
+        self._put(StopIteration())
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        # once exhausted, keep raising StopIteration (iterator protocol)
+        # instead of blocking forever on an empty queue
+        if self._done:
+            raise StopIteration
         item = self.q.get()
         if isinstance(item, StopIteration):
+            self._done = True
             raise item
         if isinstance(item, Exception):
             raise item
         return item
+
+    def _drain(self):
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def close(self):
+        self._closed = True
+        self._done = True
+        # drain -> join -> drain: the producer may complete one pending
+        # put after the first drain (it was already blocked inside
+        # q.put when _closed flipped); only after the thread exits is the
+        # queue guaranteed to stay empty
+        self._drain()
+        self.thread.join(timeout=10)
+        self._drain()

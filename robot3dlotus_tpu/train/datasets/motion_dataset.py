@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import copy
 import json
-import random
 import zlib
 from typing import Dict, List
 
@@ -96,9 +95,9 @@ class MotionPlannerDataset(KeystepDataset):
             m |= gt_sem == lid
         return m
 
-    def get_episode_samples(self, taskvar, episode) -> List[Dict]:
+    def get_episode_samples(self, taskvar, episode, rng=None) -> List[Dict]:
         data = self.store.get(taskvar, episode)
-        rng = self.rng
+        rng = rng if rng is not None else self.rng
         obj_labels = (self.gt_act_obj_labels.get(taskvar)
                       if self.gt_act_obj_labels else None)
         num_steps = len(data["xyz"])
@@ -175,7 +174,7 @@ class MotionPlannerDataset(KeystepDataset):
                 if oname in ks:
                     v = ks[oname]
                     key = (self.pc_label_type if self.pc_label_type != "mix"
-                           else random.choice(["coarse", "fine"]))
+                           else ("coarse", "fine")[int(rng.randint(2))])
                     obj_mask = self._label_mask(gt_sem, v[key])
                     if "zrange" in v:
                         obj_mask &= (xyz[:, 2] > v["zrange"][0]) & \
@@ -258,7 +257,7 @@ class MotionPlannerDataset(KeystepDataset):
         return quat
 
 
-def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
+def collate_motion_samples(samples, num_points, max_traj_len,
                            num_clouds=None, txt_buckets=(4, 8, 16, 32, 80)):
     """Fixed-shape motion-planner batch (reference ptv3_collate_fn_partial,
     motion_planner_dataset.py:360-410: short trajectories repeat their last
@@ -286,9 +285,9 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
     tmask = np.zeros((B, L), bool)
     centroids = np.zeros((B, 3), np.float32)
     radius = np.zeros(B, np.float32)
-    has_probs = "disc_pos_probs" in samples[0]
-    probs = (np.zeros((B, L, 3, N * 2 * pos_bins), np.float32)
-             if has_probs else None)
+    # samples never carry precomputed disc_pos_probs (the GT prob tensor
+    # is built inside the jitted train step); the loss accepts a
+    # batch-level override for golden tests only
     has_rm = "robot_point_mask" in samples[0]
     robot_mask = np.zeros((B, N), bool) if has_rm else None
 
@@ -310,12 +309,6 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
         tmask[i, :L_t] = True
         centroids[i] = s["pc_centroids"]
         radius[i] = s["pc_radius"]
-        if has_probs:
-            nb = 2 * pos_bins
-            src = s["disc_pos_probs"].reshape(-1, 3, n, nb)[:L_t]
-            dst = probs[i].reshape(L, 3, N, nb)
-            dst[:L_t, :, :n] = src
-            dst[L_t:] = dst[L_t - 1]
         if has_rm:
             robot_mask[i, :n] = s["robot_point_mask"][:n]
 
@@ -327,8 +320,6 @@ def collate_motion_samples(samples, num_points, max_traj_len, pos_bins=None,
         "batch_valid": batch_valid,
         "pc_centroids": centroids, "pc_radius": radius,
     }
-    if has_probs:
-        out["disc_pos_probs"] = probs.reshape(B, L, 3, N * 2 * pos_bins)
     if has_rm:
         out["pc_robot_mask"] = robot_mask
     return out

@@ -81,26 +81,48 @@ class MsgpackDirStore:
 
 
 class LmdbStore:
-    """Reads the reference GemBench LMDB layout (one env per taskvar)."""
+    """Reads the reference GemBench LMDB layout (one env per taskvar).
+
+    Thread-safety: LMDB environments may be shared across threads, but a
+    read TRANSACTION must only be used by one thread at a time — the
+    loader's worker pool calls get() concurrently, so transactions are
+    cached per-thread (threading.local) while environments are shared
+    under a lock."""
 
     def __init__(self, root: str):
         import lmdb  # optional dependency
+        import threading
         self.root = root
         self._lmdb = lmdb
-        self._envs, self._txns = {}, {}
+        self._envs = {}
+        self._env_lock = threading.Lock()
+        self._local = threading.local()
 
     def taskvars(self):
         return sorted(
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d)))
 
+    def _env(self, taskvar):
+        env = self._envs.get(taskvar)
+        if env is None:
+            with self._env_lock:
+                env = self._envs.get(taskvar)
+                if env is None:
+                    env = self._lmdb.open(
+                        os.path.join(self.root, taskvar),
+                        readonly=True, lock=False)
+                    self._envs[taskvar] = env
+        return env
+
     def _txn(self, taskvar):
-        if taskvar not in self._txns:
-            env = self._lmdb.open(os.path.join(self.root, taskvar),
-                                  readonly=True, lock=False)
-            self._envs[taskvar] = env
-            self._txns[taskvar] = env.begin()
-        return self._txns[taskvar]
+        txns = getattr(self._local, "txns", None)
+        if txns is None:
+            txns = self._local.txns = {}
+        txn = txns.get(taskvar)
+        if txn is None:
+            txn = txns[taskvar] = self._env(taskvar).begin()
+        return txn
 
     def episodes(self, taskvar):
         txn = self._txn(taskvar)

@@ -108,7 +108,8 @@ def run_training(config, spec: TaskSpec):
     logger.info(f"devices={len(devices)} mesh={'dp' if mesh else 'single'}"
                 + (f" processes={jax.process_count()}" if multihost else ""))
 
-    seed = int(config.get("SEED", 2024)) + jax.process_index()
+    base_seed = int(config.get("SEED", 2024))
+    seed = base_seed + jax.process_index()  # per-process: augmentation etc.
     np.random.seed(seed)
     rng = jax.random.PRNGKey(seed)
 
@@ -121,6 +122,9 @@ def run_training(config, spec: TaskSpec):
         dataset, num_clouds=num_clouds,
         num_points=int(tds_cfg.get("num_points", 4096)),
         collate_fn=spec.make_collate(tds_cfg, num_clouds), seed=seed,
+        # process-invariant: every host must shuffle identically or the
+        # ids[rank::world] shards overlap (loader.py _epoch_ids)
+        shuffle_seed=base_seed,
         num_workers=int(config.TRAIN.get("n_workers", 0) or 0))
     batches = PrefetchToDevice(loader, mesh=mesh)
 
@@ -184,11 +188,29 @@ def run_training(config, spec: TaskSpec):
         val_collate = spec.make_collate(dict(val_cfg), val_clouds)
 
         def make_val_loader():
-            return KeystepBatchLoader(
+            if jax.process_count() == 1:
+                return KeystepBatchLoader(
+                    val_dataset, num_clouds=val_clouds,
+                    num_points=int(val_cfg.get("num_points", 4096)),
+                    collate_fn=val_collate, shuffle=False, seed=seed,
+                    infinite=False)
+            # multihost: uneven per-host shards + variable keysteps per
+            # episode would give hosts different batch counts, deadlocking
+            # the collective val step on the host with fewer — every host
+            # runs exactly TRAIN.val_num_batches instead (its shard cycles).
+            # More hosts than val episodes: fold onto overlapping shards
+            # (metric duplication, like DistributedSampler padding) rather
+            # than leaving hosts with an empty infinite shard.
+            import itertools
+            n = int(config.TRAIN.get("val_num_batches", 16) or 16)
+            eff_pc = min(jax.process_count(), max(len(val_dataset), 1))
+            inf = KeystepBatchLoader(
                 val_dataset, num_clouds=val_clouds,
                 num_points=int(val_cfg.get("num_points", 4096)),
                 collate_fn=val_collate, shuffle=False, seed=seed,
-                infinite=False)
+                process_index=jax.process_index() % eff_pc,
+                process_count=eff_pc, infinite=True)
+            return itertools.islice(iter(inf), n)
 
         val_fn = make_val_step(
             model, loss_fn, lambda preds: spec.decode_fn(preds, act_cfg))
@@ -247,41 +269,47 @@ def run_training(config, spec: TaskSpec):
 
     step = start_step
     batch_iter = iter(batches)
-    if start_step == 0:
-        state, losses = step_fn(state, first, rng)
-        loss_buf.append(losses)
-        step += 1
-        samples_seen += num_clouds
-    for batch in batch_iter:
-        if step >= num_train_steps:
-            break
-        if preempted:
-            logger.info(f"preemption signal {preempted.signum}: "
-                        f"saving at step {step} and requeueing")
-            if dist.is_default_process():
+    try:
+        if start_step == 0:
+            state, losses = step_fn(state, first, rng)
+            loss_buf.append(losses)
+            step += 1
+            samples_seen += num_clouds
+        for batch in batch_iter:
+            if step >= num_train_steps:
+                break
+            if preempted:
+                logger.info(f"preemption signal {preempted.signum}: "
+                            f"saving at step {step} and requeueing")
+                if dist.is_default_process():
+                    saver.save(state, step)
+                    requeue_self()
+                return state
+            maybe_profile(step)
+            state, losses = step_fn(state, batch, rng)
+            loss_buf.append(losses)
+            step += 1
+            samples_seen += num_clouds
+            if step % log_steps == 0:
+                flush_meters()
+                lr = float(schedule(step))
+                sps = samples_seen / max(time.time() - t_start, 1e-9)
+                logger.info(
+                    f"step {step}: " +
+                    ", ".join(f"{k}={m.val:.4f}"
+                              for k, m in meters.items()) +
+                    f", lr={lr:.2e}, samples/s={sps:.1f}")
+                metric_writer.write(step, dict(
+                    {k: m.val for k, m in meters.items()},
+                    lr=lr, samples_per_sec=sps))
+            if step % save_steps == 0 and dist.is_default_process():
                 saver.save(state, step)
-                requeue_self()
-            return state
-        maybe_profile(step)
-        state, losses = step_fn(state, batch, rng)
-        loss_buf.append(losses)
-        step += 1
-        samples_seen += num_clouds
-        if step % log_steps == 0:
-            flush_meters()
-            lr = float(schedule(step))
-            sps = samples_seen / max(time.time() - t_start, 1e-9)
-            logger.info(
-                f"step {step}: " +
-                ", ".join(f"{k}={m.val:.4f}" for k, m in meters.items()) +
-                f", lr={lr:.2e}, samples/s={sps:.1f}")
-            metric_writer.write(step, dict(
-                {k: m.val for k, m in meters.items()},
-                lr=lr, samples_per_sec=sps))
-        if step % save_steps == 0 and dist.is_default_process():
-            saver.save(state, step)
-        if use_val and step % val_steps == 0:
-            validate(step)
+            if use_val and step % val_steps == 0:
+                validate(step)
+    finally:
+        # release the prefetch thread + its queued device batches (the
+        # infinite loader would otherwise stay alive past training)
+        batches.close()
     if profile_active:
         jax.profiler.stop_trace()
     flush_meters()

@@ -42,11 +42,8 @@ def _build_dataset(ds_cfg, rng):
 def _make_collate(ds_cfg, num_clouds):
     num_points = int(ds_cfg.get("num_points", 4096))
     max_traj_len = int(ds_cfg.get("max_traj_len", 5))
-    pos_bins = (ds_cfg.get("pos_bins")
-                if ds_cfg.get("pos_type", "disc") == "disc" else None)
     return lambda samples: collate_motion_samples(
-        samples, num_points, max_traj_len, pos_bins=pos_bins,
-        num_clouds=num_clouds)
+        samples, num_points, max_traj_len, num_clouds=num_clouds)
 
 
 def _val_accuracy(actions, batch):

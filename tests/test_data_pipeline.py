@@ -34,7 +34,7 @@ def test_keystep_dataset_and_collate():
     rm = s["robot_point_mask"]
     assert rm.shape == (s["pc_fts"].shape[0],) and rm.dtype == bool
 
-    batch = collate_keystep_samples(samples, num_points=1024, pos_bins=10,
+    batch = collate_keystep_samples(samples, num_points=1024,
                                     num_clouds=4)
     assert batch["pc_fts"].shape == (4, 1024, 7)
     assert batch["pc_robot_mask"].shape == (4, 1024)
@@ -85,7 +85,7 @@ def test_motion_dataset_and_model():
     assert s["pc_fts"].shape[-1] == 4  # xyz + height
     assert set(np.unique(s["pc_labels"])) <= {0, 1, 2, 3}
     batch_np = collate_motion_samples(
-        samples, num_points=256, max_traj_len=3, pos_bins=5, num_clouds=2)
+        samples, num_points=256, max_traj_len=3, num_clouds=2)
     assert batch_np["gt_trajs"].shape == (2, 3, 7)
     # per-step disc targets are device-built from gt_trajs + this mask
     assert batch_np["pc_robot_mask"].shape == (2, 256)
@@ -149,3 +149,104 @@ def test_clip_prompt_ensemble():
     assert len(prompts) == 60
     assert "A point cloud of red cube." in prompts
     assert prompts[0] == "red cube."
+
+
+def _tiny_loader(seed=0, shuffle_seed=None, process_index=0,
+                 process_count=1, num_workers=0, shuffle=True,
+                 infinite=True, augment=True):
+    from robot3dlotus_tpu.train.datasets.loader import KeystepBatchLoader
+    store = SyntheticStore(num_taskvars=3, episodes_per_taskvar=4,
+                           points_per_step=400)
+    ds = KeystepDataset(store, num_points=128, augment_pc=augment,
+                        pos_type="disc", pos_bins=5,
+                        rng=np.random.RandomState(seed))
+    return KeystepBatchLoader(
+        ds, num_clouds=4, num_points=128, shuffle=shuffle,
+        seed=seed, shuffle_seed=shuffle_seed, process_index=process_index,
+        process_count=process_count, infinite=infinite,
+        num_workers=num_workers)
+
+
+def test_per_host_shards_disjoint_under_shuffle():
+    """Hosts pass DIFFERENT per-process seeds (augmentation diversity) but
+    the SAME shuffle_seed: per-epoch shards must partition the dataset
+    (DistributedSampler parity) — overlapping/missing episodes silently
+    skew multihost training."""
+    for epoch in range(3):
+        shards = [
+            _tiny_loader(seed=100 + pi, shuffle_seed=7, process_index=pi,
+                         process_count=3)._epoch_ids(epoch)
+            for pi in range(3)
+        ]
+        all_ids = np.concatenate(shards)
+        assert len(all_ids) == 12
+        assert sorted(all_ids.tolist()) == list(range(12))
+
+
+def test_worker_pool_is_deterministic():
+    """num_workers>0 must not change WHAT is produced run-to-run: each
+    episode gets a derived RNG, so augmentation no longer depends on
+    thread scheduling."""
+    def first_batches(num_workers):
+        it = iter(_tiny_loader(seed=3, num_workers=num_workers))
+        return [next(it) for _ in range(4)]
+
+    a = first_batches(2)
+    b = first_batches(2)
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(np.asarray(ba[k]),
+                                          np.asarray(bb[k]), err_msg=k)
+
+
+def test_empty_host_shard_raises():
+    loader = _tiny_loader(process_index=20, process_count=50)
+    with pytest.raises(ValueError, match="empty per-host shard"):
+        next(iter(loader))
+
+
+def test_prefetch_exhaustion_and_close():
+    """After exhaustion PrefetchToDevice keeps raising StopIteration (no
+    deadlock on re-poll); close() releases the producer thread."""
+    from robot3dlotus_tpu.train.datasets.loader import PrefetchToDevice
+
+    batches = [{"x": np.ones(3)}, {"x": np.zeros(3)}]
+    pf = PrefetchToDevice(iter(batches), mesh=None, depth=2)
+    got = list(pf)
+    assert len(got) == 2
+    for _ in range(3):  # iterator protocol: further next() raises again
+        with pytest.raises(StopIteration):
+            next(pf)
+
+    pf2 = PrefetchToDevice(iter(_tiny_loader(seed=1)), mesh=None, depth=1)
+    next(pf2)
+    pf2.close()
+    pf2.thread.join(timeout=30)
+    assert not pf2.thread.is_alive(), "producer thread leaked after close()"
+
+
+def test_meta_loader_iterator_recreation_keeps_accum_window():
+    """Dropping and re-creating the MetaLoader iterator mid-accum-window
+    must keep serving the window's drawn task (shared-RNG determinism
+    across hosts depends on it)."""
+    from robot3dlotus_tpu.train.datasets.loader import MetaLoader
+
+    def gen(tag):
+        i = 0
+        while True:
+            yield f"{tag}{i}"
+            i += 1
+
+    ml = MetaLoader({"a": gen("a"), "b": gen("b")}, accum_steps=4, seed=5)
+    it1 = iter(ml)
+    first = [next(it1) for _ in range(2)]
+    window_task = first[0][0]
+    assert all(t == window_task for t, _ in first)
+    it2 = iter(ml)  # re-created mid-window
+    rest = [next(it2) for _ in range(2)]
+    assert all(t == window_task for t, _ in rest), \
+        "fresh iterator forgot the accum window's task"
+    nxt = next(it2)  # step 4: a fresh draw from the shared RNG
+    ml2 = MetaLoader({"a": gen("a"), "b": gen("b")}, accum_steps=4, seed=5)
+    seq2 = [next(iter(ml2))[0] for _ in range(5)]
+    assert nxt[0] == seq2[4], "re-created iterator desynced the task RNG"
