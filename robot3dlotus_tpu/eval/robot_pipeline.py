@@ -328,6 +328,8 @@ class GroundtruthVision:
             if pcd_rgb is not None:
                 pcd_rgb = pcd_rgb[keep]
 
+        if len(pcd_xyz) <= 10:
+            return None  # emptied cloud: caller emits the safe zero action
         point_idxs = sample_points(
             len(pcd_xyz), self.num_points, self.same_npoints_per_example,
             self.rng)
@@ -398,7 +400,13 @@ def _new_episode_cache(gripper_pose, episode_outdir=None):
 
 def _move_grasped_obj_xyz(cur_action, prev_pose, obj_xyz):
     """Track the grasped object's cloud through the commanded motion
-    (reference :224-232; in-place like the reference)."""
+    (reference :224-232; in-place like the reference).
+
+    Reference-faithful quirks kept verbatim for behavior parity: the
+    relative rotation is composed by SUBTRACTING Euler angles (not
+    R_cur * R_prev^-1) and applied about the WORLD origin after the
+    translation (not about the gripper). Exact only for pure translations
+    — which the benchmark's move-grasped plans overwhelmingly are."""
     translation = cur_action[:3] - prev_pose[:3]
     rotation = R.from_quat(cur_action[3:7]).as_euler("xyz") - \
         R.from_quat(prev_pose[3:7]).as_euler("xyz")
@@ -487,6 +495,8 @@ class GroundtruthRobotPipeline:
             taskvar, cache["highlevel_step_id_norelease"],
             obs["pc"], obs["gt_mask"], gripper_pose,
             obs["arm_links_info"], rgb_images=obs.get("rgb"))
+        if inputs is None:  # crop/robot-removal emptied the cloud
+            return {"action": np.zeros(8), "cache": cache}
 
         action_name = _plan_action_name(plan, self.instr_include_objects)
         txt_embed = self.text_embedder(action_name)
@@ -554,8 +564,10 @@ class RobotPipeline:
         self.pred_dir = mp_cfg.get("pred_dir")
         self.workspace = get_robot_workspace(
             real_robot=self.env_name == "real", use_vlm=True)
+        seed = config.get("pipeline", {}).get("seed", 0)
+        # seed 0 is a valid explicit seed (`or None` would silently unseed)
         self.rng = np.random.RandomState(
-            int(config.get("pipeline", {}).get("seed", 0)) or None)
+            None if seed is None else int(seed))
 
     # ------------------------------------------------------------------ #
 
@@ -623,6 +635,11 @@ class RobotPipeline:
                 pcd_xyz[keep], pcd_label[keep], pcd_rgb[keep]
 
         num_points = int(cfg.get("num_points", 4096))
+        if len(pcd_xyz) <= 10:
+            # everything was cleaned/cropped away: signal the caller to emit
+            # the safe zero action (the Actioner's tiny-cloud guard) instead
+            # of sampling an empty array into a NaN centroid/forward
+            return None, mani_obj
         point_idxs = sample_points(
             len(pcd_xyz), num_points,
             cfg.get("same_npoints_per_example", False), self.rng)
@@ -696,13 +713,21 @@ class RobotPipeline:
             if outdir:
                 with open(os.path.join(outdir, "highlevel_plans.json"),
                           "w") as f:
-                    json.dump({"instruction": instructions[0], "plans": plans,
-                               "parsed_plans": cache["highlevel_plans"]}, f)
+                    json.dump({
+                        # GT-planner callers may omit instructions entirely
+                        "instruction": instructions[0] if instructions
+                        else None,
+                        "plans": plans,
+                        "parsed_plans": cache["highlevel_plans"]}, f)
 
         # cached trajectory steps remaining (reference :253-272)
         if cache["valid_actions"]:
             cur = np.asarray(cache["valid_actions"][0][:8])
             cache["valid_actions"] = cache["valid_actions"][1:]
+            # reference-faithful quirk (:257): the generating plan is
+            # reconstructed as plans[step_id - 1], which is the PREVIOUS
+            # plan whenever the stop bit did not fire (step_id was not
+            # advanced) — kept verbatim for behavior parity
             plan = cache["highlevel_plans"][cache["highlevel_step_id"] - 1] \
                 if cache["highlevel_step_id"] > 0 else None
             if plan is not None and cache["grasped_obj_name"] is not None \
@@ -716,9 +741,13 @@ class RobotPipeline:
 
         if cache["highlevel_step_id"] >= len(cache["highlevel_plans"]):
             if self.restart:
+                # reference :305-312: rewind to plan 0 and clear the episode
+                # state but KEEP the plan list (the LLM only plans at step 0
+                # — wiping the plans here would index an empty list forever)
+                plans = cache["highlevel_plans"]
                 cache.update(_new_episode_cache(
                     gripper_pose, cache["episode_outdir"]))
-                cache["highlevel_plans"] = cache["highlevel_plans"] or []
+                cache["highlevel_plans"] = plans
             else:
                 return {"action": np.zeros(8), "cache": cache}
 
@@ -748,6 +777,8 @@ class RobotPipeline:
         inputs, mani_obj = self.prepare_motion_planner_input(
             objects, plan, obs["arm_links_info"], gripper_pose,
             zrange=zrange, target_var_xyz=target_var_xyz)
+        if inputs is None:  # cleanup/crop emptied the cloud
+            return {"action": np.zeros(8), "cache": cache}
 
         if mani_obj is not None and mani_obj["name"]:
             cache["ret_objs"][mani_obj["name"]] = mani_obj["pcd_xyz"]

@@ -268,6 +268,52 @@ def test_full_robot_pipeline_with_fake_vlm(tmp_path, mp_engine):
     assert np.isfinite(out["action"]).all()
 
 
+def test_pipeline_restart_rewinds_plan(tmp_path, mp_engine):
+    """pipeline.restart=True past plan exhaustion must rewind to plan 0
+    with the plan LIST intact (reference :305-312) — wiping the plans
+    would index an empty list on every later step."""
+    plan_file, _ = _write_gt_assets(tmp_path)
+    config = {
+        "llm_planner": {"use_groundtruth": True, "gt_plan_file": plan_file},
+        "motion_planner": {"config_file": None, "checkpoint": None,
+                           "run_action_step": 5},
+        "pipeline": {"restart": True, "seed": 3},
+    }
+    pipeline = RobotPipeline(
+        config, motion_planner=mp_engine,
+        vlm_pipeline=_FakeVLM(_fake_objects()),
+        text_embedder=ActionTextEmbedder())
+    env = ReplayEnv(SyntheticMotionStore())
+    obs = env.reset("synthetic_task0", 0, 0)
+
+    out = pipeline.predict(
+        task_str="synthetic_task0", variation=0, step_id=0,
+        obs_state_dict=obs, episode_id=0,
+        instructions=["grasp the cube"])
+    cache = out["cache"]
+    n_plans = len(cache["highlevel_plans"])
+    assert n_plans > 0
+
+    # force plan exhaustion: the next call takes the restart branch
+    cache["highlevel_step_id"] = n_plans
+    cache["valid_actions"] = []
+    out = pipeline.predict(
+        task_str="synthetic_task0", variation=0, step_id=1,
+        obs_state_dict=obs, episode_id=0,
+        instructions=["grasp the cube"], cache=cache)
+    cache = out["cache"]
+    assert np.isfinite(np.asarray(out["action"])).all()
+    assert len(cache["highlevel_plans"]) == n_plans, \
+        "restart wiped the plan list"
+    assert cache["highlevel_step_id"] < n_plans
+    # ...and the rewound episode keeps serving real plans
+    out = pipeline.predict(
+        task_str="synthetic_task0", variation=0, step_id=2,
+        obs_state_dict=obs, episode_id=0,
+        instructions=["grasp the cube"], cache=cache)
+    assert np.isfinite(np.asarray(out["action"])).all()
+
+
 def test_zrange_estimation_for_drawer(tmp_path, mp_engine):
     plan_file = tmp_path / "drawer_plan.txt"
     plan_file.write_text(
