@@ -115,14 +115,20 @@ class VLMPipeline:
         return self.cache
 
     # ------------------------------------------------------------------ #
+    def _in_workspace(self, pcd_xyz):
+        """Per-point workspace containment — ONE definition shared by box
+        cleaning and point cleaning so the bounds semantics cannot drift."""
+        cfg = self.vlm_config
+        return np.all(pcd_xyz > cfg.workspace[0], -1) & \
+            np.all(pcd_xyz < cfg.workspace[1], -1)
+
     def clean_object_pcd(self, pcd_xyz, robot_box):
         """keep points inside the workspace, above the table, outside the
         robot boxes (reference vlm_pipeline.py:252-329 helper)."""
         cfg = self.vlm_config
         if len(pcd_xyz) == 0:
             return np.zeros(0, bool)
-        m = np.all(pcd_xyz > cfg.workspace[0], -1) & \
-            np.all(pcd_xyz < cfg.workspace[1], -1)
+        m = self._in_workspace(pcd_xyz)
         m &= pcd_xyz[:, 2] > cfg.table_height + cfg.table_dist_threshold
         if robot_box is not None:
             m &= ~robot_box.point_mask(pcd_xyz)
@@ -146,8 +152,7 @@ class VLMPipeline:
                         obj_pcd = obj_pcd[keep]
                     if len(obj_pcd) == 0:
                         continue
-                    inws = np.all(obj_pcd > cfg.workspace[0], -1) & \
-                        np.all(obj_pcd < cfg.workspace[1], -1)
+                    inws = self._in_workspace(obj_pcd)
                     if 1 - inws.mean() > \
                             cfg.clean_det_config["max_out_workspace_ratio"]:
                         continue
@@ -236,7 +241,8 @@ class VLMPipeline:
                 elif len(obj.pcd_xyz) > cfg.pcd_min_num_points:
                     all_objects.append(obj)
 
-        all_objects.sort(key=lambda o: -len(o.pcd_xyz))
+        # (sorted by point count just before merging below — nothing
+        # in between is order-dependent)
 
         # obstacle = everything outside detected masks
         obstacle = ObjectInfo(captions=["obstacle"])
@@ -301,7 +307,10 @@ class VLMPipeline:
                              obstacle.pcd_xyz[pm]], 0)
                         all_objects[best].pcd_rgb = np.concatenate(
                             [all_objects[best].pcd_rgb,
-                             obstacle.pcd_rgb[pm]], 0)
+                             # obstacle rgb is float32; keep the target
+                             # object's dtype instead of silently promoting
+                             obstacle.pcd_rgb[pm].astype(
+                                 all_objects[best].pcd_rgb.dtype)], 0)
                         om[pm] = False
                 obstacle.pcd_xyz = obstacle.pcd_xyz[om]
                 obstacle.pcd_rgb = obstacle.pcd_rgb[om]
@@ -324,6 +333,10 @@ class VLMPipeline:
                             best[2] / max(best[1], floor)):
                         best = (eid, pcd_dist, embed_sim)
                 mc = cfg.merge_obj_config
+                # reference-faithful (vlm_pipeline.py:533-549): only the
+                # highest-RATIO candidate is threshold-checked, so a
+                # candidate passing both thresholds can lose to a
+                # non-qualifying higher-ratio one — kept for parity
                 if best is not None and (
                         (best[2] > mc["min_match_embed_sim"]
                          and best[1] < mc["max_match_pcd_dist"])
@@ -365,13 +378,14 @@ class VLMPipeline:
         for sam_res, rgb_img in zip(sam_results, rgb_images):
             if sam_res is None:
                 som_images.append(None)
+                num_objects.append(0)  # keep the lists view-aligned
                 continue
             img = Image.fromarray(np.asarray(rgb_img, np.uint8)).convert(
                 "RGB")
             draw = ImageDraw.ImageDraw(img)
             font = ImageFont.load_default()
             masks = sam_res["masks"]
-            num_objects.append(len(masks))
+            n_marked = 0
             for k, m in enumerate(masks):
                 m = np.asarray(m)
                 if m.ndim == 3:
@@ -382,13 +396,27 @@ class VLMPipeline:
                 x = int(np.median(np.nonzero(xsum)[0]))
                 y = int(np.median(np.nonzero(ysum)[0]))
                 if not bool(m[y, x]):  # median center fell outside the mask
-                    if xsum[x] > ysum[y]:
-                        y = int(np.median(np.nonzero(m[:, x])[0]))
-                    else:
-                        x = int(np.median(np.nonzero(m[y, :])[0]))
+                    col = np.nonzero(m[:, x])[0]
+                    row = np.nonzero(m[y, :])[0]
+                    if xsum[x] > ysum[y] and len(col):
+                        y = int(np.median(col))
+                    elif len(row):
+                        x = int(np.median(row))
+                if not bool(m[y, x]):
+                    # disjoint components: both medians fell in the gap
+                    # between blobs (the reference's int cast of the empty-
+                    # slice NaN median crashes here) — snap to the nearest
+                    # actual mask pixel so the marker stays inside the mask
+                    ys_, xs_ = np.nonzero(m)
+                    j = int(np.argmin((ys_ - y) ** 2 + (xs_ - x) ** 2))
+                    y, x = int(ys_[j]), int(xs_[j])
                 draw.rectangle([x - 6, y - 6, x + 6, y + 6], fill="black")
                 draw.text((x - 4, y - 6), str(k + 1), fill="white", font=font)
+                n_marked += 1
             som_images.append(img)
+            # markers actually drawn (empty masks are skipped above), so a
+            # captioning prompt's claimed marker count matches the image
+            num_objects.append(n_marked)
         return som_images, num_objects
 
     def generate_3d_captions(self, objects, caption_3d_model=None):
@@ -406,7 +434,11 @@ class VLMPipeline:
 
     def ground_object_with_query(self, text, objects=None, return_sims=False):
         """Text -> best object by OWLv2 text/image embedding cosine
-        (reference vlm_pipeline.py:169-216)."""
+        (reference vlm_pipeline.py:169-216). With return_sims, the third
+        element lists similarities of the embeds-bearing candidates in
+        object order (the reference's it_sims — NOT aligned to `objects`
+        when some lack embeds; the returned best id IS a true object
+        index, unlike the reference's filtered-list argmax)."""
         objects = objects if objects is not None else self.cache["objects"]
         query = _normalize(
             self.det_model.encode_texts([text])["text_embeds"][0])
@@ -429,14 +461,17 @@ class VLMPipeline:
 
     def classify_objects_with_queries(self, texts, objects=None,
                                       add_robot_obstacle=True):
+        """One label per input object, positionally aligned: robot/obstacle
+        entries carry their caption when add_robot_obstacle else None
+        (dropping them mid-list would misalign labels[i] with objects[i])."""
         objects = objects if objects is not None else self.cache["objects"]
         query = _normalize(
             self.det_model.encode_texts(texts)["text_embeds"])
         labels = []
         for obj in objects:
             if obj.captions and obj.captions[0] in ("robot", "obstacle"):
-                if add_robot_obstacle:
-                    labels.append(obj.captions[0])
+                labels.append(obj.captions[0] if add_robot_obstacle
+                              else None)
                 continue
             emb = _normalize(weighted_average_embeds(
                 obj.image_class_embeds, obj.objectness_scores))

@@ -405,10 +405,22 @@ def test_som_images_and_caption_hook():
     ring = np.zeros((32, 32), bool)  # center-outside-mask branch
     ring[4:28, 4:6] = True
     ring[4:28, 26:28] = True
-    sam = [{"masks": [m, ring], "scores": [0.9, 0.8]}, None]
+    empty = np.zeros((32, 32), bool)  # empty mask: no marker drawn
+    sam = [{"masks": [m, ring, empty], "scores": [0.9, 0.8, 0.7]}, None]
     som, counts = pipe.prepare_som_images(rgb, sam)
-    assert som[1] is None and counts == [2]
+    # counts align with views (None view -> 0) and count markers actually
+    # drawn (the empty mask is skipped)
+    assert som[1] is None and counts == [2, 0]
     assert np.asarray(som[0]).sum() > 0  # markers drawn
+    # opposite-corner blobs: both median coordinates land in the empty gap
+    # and both axis slices are empty — the old code crashed on
+    # int(median(empty)) = int(NaN); the anchor must snap to a mask pixel
+    corner = np.zeros((32, 32), bool)
+    corner[4:7, 4:7] = True
+    corner[26:29, 26:29] = True
+    som2, counts2 = pipe.prepare_som_images(
+        rgb[:1], [{"masks": [corner], "scores": [0.9]}])
+    assert counts2 == [1] and np.asarray(som2[0]).sum() > 0
 
     objs = [ObjectInfo(captions=["obstacle"]),
             ObjectInfo(captions=["red cube"])]
