@@ -41,16 +41,8 @@ NEG_INF = -1e9
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)        # (P, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
-    logits = jax.lax.dot_general(              # (P, P) on the MXU
-        q * scale, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    mask = m_ref[0] > 0                        # (1, P) keys validity
-    logits = jnp.where(mask, logits, NEG_INF)
-    a = jax.nn.softmax(logits, axis=-1)
+    a = _probs(q_ref, k_ref, m_ref, scale)     # (P, P) on the MXU
     o_ref[0, 0] = jax.lax.dot_general(         # (P, Dh)
         a.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -270,6 +262,15 @@ def patch_attention_dropout(q, k, v, key_valid, seed, scale, rate,
     backward regenerate probabilities and the keep-mask in Pallas; nothing
     O(P^2) is ever written to HBM.
     """
+    if interpret and rate > 0:
+        # the CPU Pallas interpreter stubs prng_random_bits to zeros, which
+        # makes the keep-mask all-False — every output (and gradient) would
+        # be silently zero. Fail loudly instead (models/layers.py routes
+        # interpret-mode dropout to the XLA path for this reason).
+        raise ValueError(
+            "patch_attention_dropout(rate>0) cannot run in interpret mode: "
+            "interpreter prng returns zeros (all-dropped mask); use the "
+            "XLA attention path off-TPU")
     return _drop_forward(q, k, v, key_valid, seed, scale, rate,
                          interpret=interpret)
 

@@ -60,6 +60,16 @@ def _take_rows(x, idx):
     return jnp.take_along_axis(x, idx_e, axis=1)
 
 
+def _take_rows_zero_oob(x, idx):
+    """XLA gather honoring the sentinel contract: out-of-range indices
+    (idx == N, the 'no neighbor' convention) yield ZERO rows — plain
+    take_along_axis would clamp to row N-1 and leak its gradient."""
+    n = x.shape[1]
+    out = _take_rows(x, jnp.clip(idx, 0, n - 1))
+    ok = (idx >= 0) & (idx < n)
+    return jnp.where(ok[..., None], out, 0)
+
+
 def permute_available(x, idx):
     """Whether the Pallas path applies to these operands."""
     if x.ndim != 3 or idx.ndim != 2 or x.shape[0] != idx.shape[0]:
@@ -70,6 +80,11 @@ def permute_available(x, idx):
     if n * c * x.dtype.itemsize > _VMEM_BUDGET_BYTES:
         return False
     if n * c * 4 > _VMEM_BUDGET_BYTES:  # fp32 dx accumulator in backward
+        return False
+    if 128 * n * 4 > _VMEM_BUDGET_BYTES:
+        # the (tile=128, N) fp32 one-hot scales with N independent of C —
+        # without this bound a big-N/small-C shape passes the row budgets
+        # but OOMs VMEM at Mosaic compile time
         return False
     return True
 
@@ -247,8 +262,7 @@ def _smallc_bwd_call(idx, g, n, interpret):
     B, M = idx.shape
     C = g.shape[-1]
     s = n // _NSUB
-    P = next((p for p in (1024, 512, 256, 128, 64, 32, 16, 8)
-              if M % p == 0), M)
+    P = _smallc_tile(M, C)
     idx4 = idx.astype(jnp.int32).reshape(B, M // P, 1, P)
     dxr = pl.pallas_call(
         functools.partial(_smallc_bwd_kernel, s=s, c=C),
@@ -289,6 +303,20 @@ def _smallc_op_bwd(n, x_dtype, interpret, idx, g):
 _smallc_op.defvjp(_smallc_op_fwd, _smallc_op_bwd)
 
 
+def _smallc_tile(m: int, c: int):
+    """Largest tile P dividing m whose (P, C*128) fp32 intermediates fit
+    the VMEM budget (forward holds y + a col iota of that size; backward
+    g_rep + col + y), or None when even no dividing tile fits. Caps P by C:
+    at C=8 (the release stem) the cap keeps the full 1024-row tile, at
+    C=16 it halves, at C=32 it quarters — without it Mosaic OOMs at
+    compile time for the wider channel counts sparse_conv permits."""
+    p_cap = (9 * 1024 * 1024) // (c * _NSUB * 4 * 2)
+    for p in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if p <= p_cap and m % p == 0:
+            return p
+    return m if m <= p_cap else None
+
+
 def gather_rows_smallc(x, idx, interpret=False):
     """out[b, m] = x[b, idx[b, m]] for small C via the two-level one-hot.
 
@@ -299,8 +327,9 @@ def gather_rows_smallc(x, idx, interpret=False):
     d/dx is live there, unlike the plain-policy stem).
     """
     B, N, C = x.shape
-    if N % _NSUB:
-        return _take_rows(x, idx)
+    if N % _NSUB or _smallc_tile(idx.shape[1], C) is None:
+        # XLA fallback must honor the same sentinel-zeros contract
+        return _take_rows_zero_oob(x, idx)
     return _smallc_op(x, idx, N, str(x.dtype), interpret)
 
 
@@ -308,10 +337,10 @@ def _smallc_fwd_call(x, idx, interpret=False):
     B, N, C = x.shape
     M = idx.shape[1]
     s = N // _NSUB
-    # bigger tiles than the flat kernel: the (P, C*128) intermediate is
-    # small, and M is typically N*K (large) — fewer grid steps win
-    P = next((p for p in (1024, 512, 256, 128, 64, 32, 16, 8)
-              if M % p == 0), M)
+    # bigger tiles than the flat kernel: the (P, C*128) intermediate stays
+    # in budget (_smallc_tile), and M is typically N*K (large) — fewer
+    # grid steps win
+    P = _smallc_tile(M, C)
     idx4 = idx.astype(jnp.int32).reshape(B, M // P, 1, P)
     # C-major within each 128-row hi block (one XLA transpose, B*N*C bytes)
     xr = x.reshape(B, s, _NSUB, C).transpose(0, 1, 3, 2).reshape(
@@ -350,5 +379,10 @@ def permute_rows(x, idx, impl="auto", interpret=False):
         if not (pallas_available() and permute_available(x, idx)):
             return _take_rows(x, idx)
     elif not permute_available(x, idx):
-        return _take_rows(x, idx)
+        # explicitly forced 'pallas' must not silently measure/compare the
+        # XLA path (A/B runs would report wrong numbers)
+        raise ValueError(
+            f"permute_rows(impl={impl!r}) forced but operands do not "
+            f"qualify (shape {x.shape}, dtype {x.dtype}; see "
+            "permute_available) — use impl='auto' for silent fallback")
     return _permute_op(x, idx, x.shape[1], str(x.dtype), interpret)

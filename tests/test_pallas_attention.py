@@ -152,3 +152,15 @@ def test_dropout_kernel_exact_vs_masked_reference():
     for name, a, b in zip(("dq", "dk", "dv"), kers, refs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
                                    err_msg=name)
+
+
+def test_dropout_interpret_mode_raises():
+    """interpret-mode prng returns zeros (all-dropped mask): the op must
+    fail loudly instead of silently zeroing outputs and gradients."""
+    import pytest as _pytest
+    from robot3dlotus_tpu.ops.pallas_attention import patch_attention_dropout
+    q = jnp.zeros((1, 1, 16, 8), jnp.float32)
+    kv = jnp.ones((1, 16), bool)
+    seed = jnp.zeros((), jnp.int32)
+    with _pytest.raises(ValueError, match="interpret"):
+        patch_attention_dropout(q, q, q, kv, seed, 1.0, 0.1, interpret=True)

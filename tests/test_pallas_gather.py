@@ -113,3 +113,44 @@ def test_smallc_gather_vjp():
         _take_rows(a, safe) * g * live))(x)
     np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_smallc_tile_caps_by_channels():
+    """The (P, C*128) fp32 intermediates must fit VMEM: the tile shrinks
+    as C grows (full 1024 at the release stem's C=8) and disqualifies
+    shapes where no dividing tile fits."""
+    from robot3dlotus_tpu.ops.pallas_gather import _smallc_tile
+    assert _smallc_tile(4096 * 27, 8) == 1024
+    assert _smallc_tile(4096 * 27, 16) <= 512
+    assert _smallc_tile(4096 * 27, 32) <= 256
+    # a prime M larger than the cap has no qualifying tile
+    assert _smallc_tile(104729, 32) is None
+
+
+def test_gather_rows_smallc_fallback_sentinel_zeros():
+    """The XLA fallback (N not a multiple of 128) must honor the
+    sentinel contract: idx == N gathers ZERO rows with zero gradient —
+    plain take_along_axis would clamp to row N-1 and leak its grad."""
+    import jax
+    from robot3dlotus_tpu.ops.pallas_gather import gather_rows_smallc
+
+    N = 100  # not a multiple of 128 -> fallback path
+    x = jnp.asarray(np.random.RandomState(0).randn(1, N, 4), jnp.float32)
+    idx = jnp.asarray([[0, 5, N, N - 1]])  # one sentinel
+    out = gather_rows_smallc(x, idx)
+    np.testing.assert_array_equal(np.asarray(out[0, 2]), np.zeros(4))
+    np.testing.assert_array_equal(np.asarray(out[0, 3]),
+                                  np.asarray(x[0, N - 1]))
+
+    g = jax.grad(lambda a: gather_rows_smallc(a, idx)[0, 2].sum())(x)
+    assert float(jnp.abs(g).sum()) == 0.0, \
+        "sentinel tap leaked gradient into a real row"
+
+
+def test_permute_rows_forced_pallas_raises_on_unqualified():
+    import pytest as _pytest
+    from robot3dlotus_tpu.ops.pallas_gather import permute_rows
+    x_int = jnp.zeros((1, 8, 4), jnp.int32)  # non-float disqualifies
+    idx = jnp.zeros((1, 8), jnp.int32)
+    with _pytest.raises(ValueError, match="forced"):
+        permute_rows(x_int, idx, impl="pallas")
