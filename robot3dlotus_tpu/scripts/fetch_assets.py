@@ -2,7 +2,8 @@
 
 The benchmark data files (task splits, instructions, GT action labels,
 LLM-planner prompts — reference assets/ and prompts/rlbench/) are *data*,
-not code, and are not vendored in this repository. This script materializes
+not code; vendored copies live at the repo root (assets/, prompts/). This
+script refreshes or re-materializes
 them into a directory which `utils.assets.resolve_asset` then finds via
 $GEMBENCH_ASSETS_ROOT (or by passing the directory as the repo root).
 

@@ -3,13 +3,13 @@
 The reference configs point at repo-relative data files ('assets/
 taskvars_train.json', 'prompts/rlbench/in_context_examples.txt', ...:
 assets/ holds task splits, instructions, GT labels; prompts/ holds the LLM
-planner prompts). Those are benchmark *data*, not code, and live outside this
-repo; resolve them through an indirection instead of vendoring:
+planner prompts). Those benchmark metadata files are vendored at the repo
+root (assets/, prompts/rlbench/); resolution order:
 
-  1. the path itself, if it exists (absolute or cwd-relative);
-  2. $GEMBENCH_ASSETS_ROOT/<path> when set;
-  3. <repo_root>/<path> (user-provided checkouts);
-  4. /root/reference/<path> (the read-only upstream in this environment).
+  1. absolute paths that exist are returned as-is;
+  2. $GEMBENCH_ASSETS_ROOT/<path> when set (explicit user override);
+  3. the path itself, cwd-relative;
+  4. <repo_root>/<path> (the vendored copies).
 
 Returns the first hit, or the original path (callers raise their own
 FileNotFoundError with full context).
@@ -20,23 +20,22 @@ import os
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_FALLBACK_ROOTS = ("/root/reference",)
 
 
 def resolve_asset(path):
     if not path:
         return path
     path = str(path)
-    if os.path.exists(path):
+    if os.path.isabs(path):
         return path
-    roots = []
     env_root = os.environ.get("GEMBENCH_ASSETS_ROOT")
     if env_root:
-        roots.append(env_root)
-    roots.append(_REPO_ROOT)
-    roots.extend(_FALLBACK_ROOTS)
-    for root in roots:
-        cand = os.path.join(root, path)
+        cand = os.path.join(env_root, path)
         if os.path.exists(cand):
             return cand
+    if os.path.exists(path):
+        return path
+    cand = os.path.join(_REPO_ROOT, path)
+    if os.path.exists(cand):
+        return cand
     return path

@@ -147,12 +147,12 @@ def test_asset_resolver(tmp_path, monkeypatch):
     (root / "assets" / "y.json").write_text("{}")
     monkeypatch.setenv("GEMBENCH_ASSETS_ROOT", str(root))
     assert resolve_asset("assets/y.json") == str(root / "assets" / "y.json")
-    # reference fallback (available in this environment)
-    if os.path.isdir("/root/reference/assets"):
-        monkeypatch.delenv("GEMBENCH_ASSETS_ROOT")
-        p = resolve_asset("assets/taskvars_train.json")
-        assert p.startswith("/root/reference")
-        assert len(json.load(open(p))) == 31  # L1 split size (SURVEY §6)
+    # vendored-copy resolution (repo-root assets/, no env var, no upstream)
+    monkeypatch.delenv("GEMBENCH_ASSETS_ROOT")
+    monkeypatch.chdir(tmp_path)  # force the repo-root branch, not cwd
+    p = resolve_asset("assets/taskvars_train.json")
+    assert "/root/reference" not in p
+    assert len(json.load(open(p))) == 31  # L1 split size (SURVEY §6)
     # None passes through
     assert resolve_asset(None) is None
 
