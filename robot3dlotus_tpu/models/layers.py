@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.patching import gather_sorted, scatter_back
+from ..ops.patching import dup_pad_identity, gather_sorted, scatter_back
 from ..ops.sparse_conv import NeighborMap, subm_conv_apply, stencil_offsets
 
 # Reference inits: trunc_normal(std=0.02) for Linear/Embedding weights, zero
@@ -255,12 +255,32 @@ class SerializedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, feat, order, inverse, src_pos, key_valid,
-                 deterministic=True, grid_coord=None, coord=None):
+                 deterministic=True, grid_coord=None, coord=None,
+                 counts=None):
         B, N, C = feat.shape
         H = self.num_heads
         P = self.patch_size
         Dh = C // H
         scale = self.qk_scale or Dh ** -0.5
+
+        # Arrange the INPUTS in padded serialized order before the qkv
+        # projection: pointwise projections commute with row permutation,
+        # so this gathers C channels where the reference permutes the 3C
+        # qkv output (model.py:489-496). When the residual stream already
+        # lives in this block's serialized order (order is None — the
+        # sorted-resident backbone dataflow), duplicate-padding is a static
+        # shift+select and the permute disappears entirely.
+        o = order[self.order_index]
+        inv = inverse[self.order_index]
+        if o is None:
+            assert counts is not None
+            feat = dup_pad_identity(feat, counts, P)
+            if self.add_coords_in_attn != "none":
+                coord = dup_pad_identity(coord, counts, P)
+        else:
+            feat = gather_sorted(feat, o, src_pos)
+            if self.add_coords_in_attn != "none":
+                coord = gather_sorted(coord, o, src_pos)
 
         if self.add_coords_in_attn == "qkv":
             assert coord is not None
@@ -275,9 +295,6 @@ class SerializedAttention(nn.Module):
                         dtype=self.dtype)(coord.astype(feat.dtype))
             qkv = qkv + jnp.concatenate(
                 [qkc, qkc, jnp.zeros_like(qkc)], axis=-1)
-        o = order[self.order_index]
-        inv = inverse[self.order_index]
-        qkv = gather_sorted(qkv, o, src_pos)  # (B, N, 3C) serialized order
 
         NP = N // P
         # the 3C projection packs [q; k; v] 3-major (reference model.py:489
@@ -353,7 +370,10 @@ class SerializedAttention(nn.Module):
                 table = self.param(
                     "rpe_table", trunc_init,
                     (3 * (2 * pos_bnd + 1), self.num_heads))
-                gc = gather_sorted(grid_coord.astype(jnp.int32), o, src_pos)
+                gc = dup_pad_identity(
+                    grid_coord.astype(jnp.int32), counts, P) if o is None \
+                    else gather_sorted(grid_coord.astype(jnp.int32), o,
+                                       src_pos)
                 gc = gc.reshape(B, NP, P, 3)
                 rel = gc[:, :, :, None, :] - gc[:, :, None, :, :]
                 bias = rpe_bias(table.astype(jnp.float32), rel, pos_bnd)
@@ -368,7 +388,11 @@ class SerializedAttention(nn.Module):
             out = jnp.einsum("bnhpq,bnqhd->bnphd", attn.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
             out = out.reshape(B, N, C).astype(qkv.dtype)
-        out = scatter_back(out, inv)
+        # identity order: rows < m are already per-point outputs; rows >= m
+        # are dup/dead slots that every downstream consumer masks (exactly
+        # the garbage the old scatter also left in invalid rows)
+        if inv is not None:
+            out = scatter_back(out, inv)
         out = dense(C, name="proj", dtype=self.dtype)(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -481,7 +505,8 @@ class Block(nn.Module):
             dtype=self.dtype, attn_impl=self.attn_impl,
         )(x, pc_aux["order"], pc_aux["inverse"], pc_aux["src_pos"],
           pc_aux["key_valid"], deterministic=deterministic,
-          grid_coord=pc_aux.get("grid_coord"), coord=pc_aux.get("coord"))
+          grid_coord=pc_aux.get("grid_coord"), coord=pc_aux.get("coord"),
+          counts=pc_aux.get("counts"))
         if self.drop_path > 0:
             x = drop_path(x, self.drop_path, deterministic,
                           self.make_rng("dropout"))

@@ -249,6 +249,7 @@ class MotionPlannerTPU(nn.Module):
         return {
             "pos": xt, "rot": xr, "open": xo, "stop": xstop,
             "final_coord": final["coord"], "final_mask": final["mask"],
+            "sort0": outs[0]["sort0"],
             "pool_overflow": outs[0].get("pool_overflow", 0),
         }
 
@@ -280,10 +281,19 @@ def compute_mp_loss(preds, batch, act_cfg, loss_cfg):
         target = batch.get("disc_pos_probs")     # (B, L, 3, N*nb)
         if target is None:
             # device-built per-step GT probs from gt_trajs positions +
-            # robot mask (verdict item 3; see simple_policy.compute_loss)
+            # robot mask (verdict item 3; see simple_policy.compute_loss),
+            # in the backbone's sorted frame (preds carry coord/mask/sort0)
             from .simple_policy import build_disc_pos_targets
             target = build_disc_pos_targets(
-                batch, tgt_pos, nb // 2, act_cfg).reshape(B, L, 3, N * nb)
+                batch, tgt_pos, nb // 2, act_cfg,
+                preds=preds).reshape(B, L, 3, N * nb)
+        elif "sort0" in preds:
+            # host-built targets are in input order; align to the frame
+            tgt = target.reshape(B, L, 3, N, nb)
+            idx = jnp.broadcast_to(
+                preds["sort0"][:, None, None, :, None], tgt.shape)
+            target = jnp.take_along_axis(tgt, idx, axis=3).reshape(
+                B, L, 3, N * nb)
         logp = jax.nn.log_softmax(flat, axis=-1)
         ce = -jnp.sum(jnp.where(target > 0, target * logp, 0.0), axis=-1)
         # per cloud: sum over (t, c) weighted by traj mask / mask count

@@ -19,7 +19,20 @@ see SURVEY.md §7):
   * grid coordinates are per-cloud (batch-composition-invariant) rather than
     the reference's batch-global coordinate origin (model.py:96-98);
   * serialization depth is static (default 10 <=> 2^10 voxels per axis)
-    instead of data-adaptive (model.py:100-102).
+    instead of data-adaptive (model.py:100-102);
+  * SORTED-RESIDENT dataflow: where the reference keeps points in input
+    order and permutes around every attention (model.py:468-557
+    index_select in/out) and pooling, this backbone re-serializes each
+    stage ONCE at stage entry (sort by the stage's first SFC order) and
+    keeps the residual stream in that frame. Blocks whose order_index is 0
+    — every block of the release depth-1 configs — then need ZERO
+    permutes: duplicate-padding degenerates to a static shift+select, the
+    windowed CPE conv consumes the frame directly, and pooling's segment
+    maps are already contiguous. All per-point outputs (feat/coord/mask)
+    are returned in the stage-0 sorted frame together with `sort0`
+    (outputs[0], frame position -> input index) for aligning per-point
+    ground truth. Per-cloud outputs (masked reductions, decoded actions)
+    are unaffected.
 """
 from __future__ import annotations
 
@@ -38,6 +51,14 @@ from ..ops.sparse_conv import build_neighbor_map
 from .layers import (
     AdaptiveNorm, Block, CABlock, MaskedBatchNorm, SubMConv, dense, gelu,
 )
+
+
+def _take_rows(x, order):
+    """x: (B, N) or (B, N, D) -> rows rearranged by order (B, M)."""
+    if x.ndim == 2:
+        return jnp.take_along_axis(x, order, axis=1)
+    idx = jnp.broadcast_to(order[..., None], order.shape + x.shape[2:])
+    return jnp.take_along_axis(x, idx, axis=1)
 
 
 def compute_grid_coord(coord, mask, grid_size, depth):
@@ -177,6 +198,11 @@ class PointTransformerV3TPU(nn.Module):
     # (jax.checkpoint): trades ~30% more FLOPs for O(depth) less
     # activation HBM — the standard knob for scaling batch x points
     remat: bool = False
+    # inputs arrive ALREADY sorted ascending by orders[0]'s SFC code
+    # (invalid points at the tail) — e.g. the eval actioner presorts on the
+    # host — so the stage-0 entry sort is skipped. Only honored when order
+    # shuffling is inactive (deterministic eval); ignored otherwise.
+    assume_sorted: bool = False
 
     @property
     def _dtype(self):
@@ -201,28 +227,71 @@ class PointTransformerV3TPU(nn.Module):
             return pallas_available(), False
         return False, False
 
-    def _make_aux(self, codes, counts, cap, patch, grid_coord, mask, depth,
-                  coord=None):
-        order, inverse = argsort_with_inverse(codes)
+    def _used_order_indices(self, s):
+        """Order indices any block of stage s (encoder or the decoder
+        revisit) actually attends in — depth-1 stages use only index 0."""
+        n_orders = len(self.orders)
+        used = {i % n_orders for i in range(self.enc_depths[s])}
+        if s < len(self.dec_depths):
+            used |= {i % n_orders for i in range(self.dec_depths[s])}
+        used.add(0)
+        return sorted(used)
+
+    def _make_aux(self, cur, s, patch):
+        """Per-stage attention/conv structures, built in the stage's sorted
+        frame (frame position == rank in codes[0]). order/inverse entries
+        are None for index 0 (the frame itself — no permute) and real
+        argsorts only for the extra orders deeper configs attend in."""
+        codes, counts, cap = cur["codes"], cur["counts"], cur["cap"]
+        order = [None] * len(self.orders)
+        inverse = [None] * len(self.orders)
+        for i in self._used_order_indices(s):
+            if i == 0:
+                continue
+            order[i], inverse[i] = argsort_with_inverse(codes[i])
         src_pos, key_valid = build_pad_maps(counts, cap, min(patch, cap))
         windowed, _ = self._conv_windowed()
         if windowed:
             from ..ops.pallas_conv import build_window_map
-            # reuse this stage's first-order sort (any SFC order is a
-            # locality-preserving window order) instead of re-argsorting
-            cpe_nmap = build_window_map(grid_coord, mask, 3, depth,
-                                        halo=self.conv_halo,
-                                        sort_order=order[0],
-                                        sort_inverse=inverse[0],
+            # the stage frame IS a locality-preserving serialized order, so
+            # the window map needs no sort of its own (presorted)
+            cpe_nmap = build_window_map(cur["grid_coord"], cur["mask"], 3,
+                                        cur["depth"], halo=self.conv_halo,
+                                        presorted=True,
                                         extent=self.lookup_extent)
         else:
-            cpe_nmap = build_neighbor_map(grid_coord, mask, 3, depth,
+            cpe_nmap = build_neighbor_map(cur["grid_coord"], cur["mask"], 3,
+                                          cur["depth"],
                                           extent=self.lookup_extent)
         return {
             "order": order, "inverse": inverse, "src_pos": src_pos,
-            "key_valid": key_valid, "cpe_nmap": cpe_nmap, "mask": mask,
-            "grid_coord": grid_coord, "coord": coord,
+            "key_valid": key_valid, "cpe_nmap": cpe_nmap,
+            "mask": cur["mask"], "grid_coord": cur["grid_coord"],
+            "coord": cur["coord"], "counts": counts,
         }
+
+    def _entry_sort(self, cur, skip_sort):
+        """Re-serialize a stage: sort every per-point array of `cur` by
+        codes[0] (ascending; sentinel-coded invalid points to the tail) so
+        the whole stage runs resident in that frame. skip_sort=True states
+        codes[0] is ALREADY ascending by construction (un-shuffled child
+        codes inherit the parent sort; presorted inputs at stage 0) and
+        returns cur unchanged. Returns (cur_sorted, order|None)."""
+        if skip_sort:
+            return cur, None
+        from ..ops.pallas_gather import permute_rows_any
+        codes = cur["codes"]
+        order = jnp.argsort(codes[0], axis=-1, stable=True).astype(jnp.int32)
+        new = dict(cur)
+        new["feat"] = permute_rows_any(cur["feat"], order)
+        new["coord"] = _take_rows(cur["coord"], order)
+        new["grid_coord"] = _take_rows(cur["grid_coord"], order)
+        new["codes"] = jnp.take_along_axis(
+            codes, jnp.broadcast_to(order[None], codes.shape), axis=-1)
+        # valid points sort ahead of the sentinel tail: prefix mask
+        new["mask"] = (jnp.arange(cur["cap"], dtype=jnp.int32)[None, :]
+                       < cur["counts"][:, None])
+        return new, order
 
     @nn.compact
     def __call__(self, coord, feat, mask, counts, context=None,
@@ -274,23 +343,41 @@ class PointTransformerV3TPU(nn.Module):
         only_dec_norms = self.pdnorm_only_decoder and not self.use_cross_attn
         enc_adaptive = self.norm_adaptive and not only_dec_norms
 
+        # --- stage-0 entry sort: everything downstream (stem conv included)
+        # runs resident in the codes[0]-serialized frame ---
+        cur = {
+            "feat": feat, "coord": coord, "grid_coord": grid_coord,
+            "mask": mask, "counts": counts, "codes": codes, "depth": depth0,
+            "cap": N0,
+        }
+        skip0 = self.assume_sorted and not shuffle
+        cur, sort0 = self._entry_sort(cur, skip_sort=skip0)
+        if stem_categorical is not None and sort0 is not None:
+            stem_categorical = (_take_rows(stem_categorical[0], sort0),
+                                stem_categorical[1])
+        if sort0 is None:  # consumers always get the frame map
+            sort0 = jnp.broadcast_to(
+                jnp.arange(N0, dtype=jnp.int32)[None, :], (B, N0))
+
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
         dt = self._dtype
-        stem_nmap = build_neighbor_map(grid_coord, mask, self.stem_kernel,
-                                       depth0, extent=self.lookup_extent)
+        stem_nmap = build_neighbor_map(cur["grid_coord"], cur["mask"],
+                                       self.stem_kernel, depth0,
+                                       extent=self.lookup_extent)
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv", dtype=dt)(
-            feat, stem_nmap, categorical=stem_categorical)
+            cur["feat"], stem_nmap, categorical=stem_categorical)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
                          adaptive=enc_adaptive, name="embedding_norm",
                          dtype=dt)(
-            x, mask=mask, context=context_vec,
+            x, mask=cur["mask"], context=context_vec,
             use_running_average=deterministic)
         x = gelu(x)
         if dt is not None:
             x = x.astype(dt)
             if context is not None:
                 context = context.astype(dt)
+        cur["feat"] = x
 
         # static_argnums: `deterministic` steers Python-level branches
         # (dropout, attention impl), so it must stay concrete under remat;
@@ -301,23 +388,15 @@ class PointTransformerV3TPU(nn.Module):
         # encoder
         enc_dp = _linspace(0.0, self.drop_path, sum(self.enc_depths))
         stage_state = []  # saved per stage for the decoder
-        cur = {
-            "feat": x, "coord": coord, "grid_coord": grid_coord,
-            "mask": mask, "counts": counts, "codes": codes, "depth": depth0,
-            "cap": N0,
-        }
         pool_records = []  # (cluster, parent stage index)
         for s in range(num_stages):
             if s > 0:
                 cur, record, overflow = self._pool(
                     s, cur, caps[s], context_vec, deterministic,
-                    prev_aux=stage_state[-1]["aux"])
+                    shuffle=shuffle)
                 pool_overflow = pool_overflow + overflow
                 pool_records.append(record)
-            aux = self._make_aux(
-                cur["codes"], cur["counts"], cur["cap"],
-                self.enc_patch_size[s], cur["grid_coord"], cur["mask"],
-                cur["depth"], coord=cur["coord"])
+            aux = self._make_aux(cur, s, self.enc_patch_size[s])
             cur["aux"] = aux
             if hasattr(aux["cpe_nmap"], "far_dropped"):
                 conv_far_dropped = conv_far_dropped + jnp.sum(
@@ -360,6 +439,10 @@ class PointTransformerV3TPU(nn.Module):
             stage_state.append(dict(cur))
 
         outputs = [self._pack(cur)]
+        # frame map of the stage-0 sorted-resident outputs: per-point
+        # results (outputs[-1] and all stage-0-cap layers) are in serialized
+        # order; sort0[b, p] = input index of frame position p
+        outputs[0]["sort0"] = sort0
         outputs[0]["pool_overflow"] = pool_overflow
         # windowed-conv exactness telemetry (0 = exact; >0 = links beyond
         # the far-capacity were dropped — surfaced like pool_overflow)
@@ -417,24 +500,15 @@ class PointTransformerV3TPU(nn.Module):
         return outputs
 
     def _pool(self, s, cur, child_cap, context_vec, deterministic,
-              prev_aux=None):
+              shuffle=False):
+        """Grid pooling in the sorted-resident frame: cur arrives sorted by
+        its codes[0], so segments are contiguous runs and NO feature permute
+        is needed. Children emerge in that same (parent-code >> 3) order;
+        the child stage is then re-serialized only when order shuffling
+        made its new codes[0] a different curve (_entry_sort)."""
         codes = cur["codes"]
-        if prev_aux is not None:
-            # the stage aux already argsorted these codes (indice reuse)
-            o0, i0 = prev_aux["order"][0], prev_aux["inverse"][0]
-        else:
-            order, inverse = argsort_with_inverse(codes)
-            o0, i0 = order[0], inverse[0]
-        codes0_sorted = jnp.take_along_axis(codes[0], o0, axis=-1)
-        maps = build_pool_maps(codes0_sorted, o0, i0, cur["counts"], child_cap)
-
-        from ..ops.pallas_gather import permute_rows
-        feat_sorted = permute_rows(cur["feat"], o0)
-        # 3-wide coords stay on the XLA gather (lane-padded one-hot matmuls
-        # would waste 40x MXU work for negligible traffic)
-        coord_sorted = jnp.take_along_axis(
-            cur["coord"],
-            jnp.broadcast_to(o0[..., None], o0.shape + (3,)), axis=1)
+        maps = build_pool_maps(codes[0], None, None, cur["counts"],
+                               child_cap)
 
         new_feat = SerializedPoolingTPU(
             self.enc_channels[s],
@@ -444,18 +518,17 @@ class PointTransformerV3TPU(nn.Module):
                            and not (self.pdnorm_only_decoder
                                     and not self.use_cross_attn)),
             dtype=self._dtype, name=f"enc{s}_down",
-        )(feat_sorted, maps, child_cap, maps.child_mask,
+        )(cur["feat"], maps, child_cap, maps.child_mask,
           context_vec=context_vec, deterministic=deterministic)
-        new_coord = segment_reduce(coord_sorted, maps, child_cap, "mean")
-        new_gc = gather_heads(cur["grid_coord"], o0, maps) >> 1
+        new_coord = segment_reduce(cur["coord"], maps, child_cap, "mean")
+        new_gc = gather_heads(cur["grid_coord"], None, maps) >> 1
         new_codes = jnp.stack([
-            gather_heads(codes[k], o0, maps) >> 3
+            gather_heads(codes[k], None, maps) >> 3
             for k in range(codes.shape[0])
         ])
         sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
         new_codes = jnp.where(maps.child_mask[None], new_codes, sentinel)
-        if self.shuffle_orders and (not deterministic or
-                                    self.has_rng("shuffle")):
+        if shuffle:
             perm = jax.random.permutation(self.make_rng("shuffle"),
                                           len(self.orders))
             new_codes = new_codes[perm]
@@ -470,7 +543,22 @@ class PointTransformerV3TPU(nn.Module):
             "codes": new_codes, "depth": max(cur["depth"] - 1, 1),
             "cap": child_cap,
         }
-        return new_cur, (maps.cluster, child_cap), overflow
+        # child entry sort: unshuffled child codes[0] inherit the parent's
+        # ascending order (code >> 3 of an ascending sequence) — skip
+        new_cur, o_child = self._entry_sort(new_cur, skip_sort=not shuffle)
+        if o_child is None:
+            cluster = maps.seg_sorted
+        else:
+            # remap emission segment ids into the child's sorted frame;
+            # the drop slot (child_cap) keeps pointing at the zero pad row
+            inv_child = jnp.argsort(o_child, axis=-1).astype(jnp.int32)
+            padded_inv = jnp.concatenate(
+                [inv_child,
+                 jnp.full((inv_child.shape[0], 1), child_cap, jnp.int32)],
+                axis=1)
+            cluster = jnp.take_along_axis(padded_inv, maps.seg_sorted,
+                                          axis=1)
+        return new_cur, (cluster, child_cap), overflow
 
     @staticmethod
     def _pack(cur):

@@ -138,6 +138,7 @@ class SimplePolicyTPU(nn.Module):
         return {
             "pos": xt, "rot": xr, "open": xo,
             "final_coord": final["coord"], "final_mask": final["mask"],
+            "sort0": outs[0]["sort0"],
             "dec_layers": outs,
             "pool_overflow": outs[0].get("pool_overflow", 0),
         }
@@ -191,15 +192,30 @@ def ptv3_kwargs(cfg):
     return out
 
 
-def build_disc_pos_targets(batch, gt_pos, pos_bins, act_cfg):
+def build_disc_pos_targets(batch, gt_pos, pos_bins, act_cfg, preds=None):
     """(B, 3, N*2*pos_bins) GT prob tensor built inside the train step from
     pc coords + gt position + robot mask (host-twin: disc_pos_gt_prob_np).
-    gt_pos: (B, 3) (or (B, L, 3) — vmapped over leading dims)."""
-    xyz = batch["pc_fts"][..., :3]
-    mask = batch["pc_mask"]
-    robot = batch.get("pc_robot_mask")
-    if robot is None:
-        robot = jnp.zeros_like(mask)
+    gt_pos: (B, 3) (or (B, L, 3) — vmapped over leading dims).
+
+    The backbone's per-point logits are in its sorted-resident frame
+    (ptv3.py sort0), so when preds are given the targets are built from the
+    frame-aligned final_coord/final_mask and the robot mask is permuted
+    into that frame; otherwise input order is assumed (host twins/tests).
+    """
+    if preds is not None:
+        xyz = preds["final_coord"]
+        mask = preds["final_mask"]
+        robot = batch.get("pc_robot_mask")
+        if robot is None:
+            robot = jnp.zeros_like(mask)
+        else:
+            robot = jnp.take_along_axis(robot, preds["sort0"], axis=1)
+    else:
+        xyz = batch["pc_fts"][..., :3]
+        mask = batch["pc_mask"]
+        robot = batch.get("pc_robot_mask")
+        if robot is None:
+            robot = jnp.zeros_like(mask)
     build = lambda x, m, g, r: disc_pos_gt_prob_jnp(
         x, m, g, robot_mask=r,
         pos_bin_size=act_cfg.get("pos_bin_size", 0.01),
@@ -237,8 +253,18 @@ def compute_loss(preds, batch, act_cfg, loss_cfg):
         target = batch.get("disc_pos_probs")       # (B, 3, N*nb)
         if target is None:
             # loader ships only gt_pos + robot mask; rebuild the GT prob
-            # tensor on device (disc_pos_gt_prob_jnp, verdict item 3)
-            target = build_disc_pos_targets(batch, tgt_pos, nb // 2, act_cfg)
+            # tensor on device (disc_pos_gt_prob_jnp, verdict item 3) in
+            # the backbone's sorted frame (preds carry coord/mask/sort0)
+            target = build_disc_pos_targets(batch, tgt_pos, nb // 2, act_cfg,
+                                            preds=preds)
+        elif "sort0" in preds:
+            # host-built targets are in input point order; the logits are
+            # in the backbone's sorted frame — align the candidate axis
+            tgt = target.reshape(B, 3, N, nb)
+            idx = jnp.broadcast_to(preds["sort0"][:, None, :, None],
+                                   tgt.shape)
+            target = jnp.take_along_axis(tgt, idx, axis=2).reshape(
+                B, 3, N * nb)
         logp = jax.nn.log_softmax(flat, axis=-1)
         pos_loss = -jnp.sum(
             jnp.where(target > 0, target * logp, 0.0), axis=-1)  # (B, 3)

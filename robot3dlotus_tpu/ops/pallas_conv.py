@@ -34,7 +34,9 @@ Training: subm_conv_windowed is a custom_vjp. dL/dx is the SAME windowed
 kernel with mirrored-transposed weights (the submanifold stencil relation is
 symmetric: q = p + off[k]  <=>  p = q + off[K-1-k], reference spconv
 semantics model.py:615-622), so the backward gather rides the same windows.
-dL/dW uses streaming XLA gathers over the original-order map.
+dL/dW rides the windows too (_dw_kernel: per-tap dW block VMEM-resident
+across the (b, t) sweep) plus the compacted far list — no full-cloud
+gathers anywhere in the VJP.
 """
 from __future__ import annotations
 
@@ -58,8 +60,11 @@ class WindowMap:
     Array fields are pytree leaves (traced); tile/halo/window are static so
     they can shape the kernel grid.
     """
-    order: jnp.ndarray      # (B, N) int32: sorted slot -> original index
+    order: jnp.ndarray      # (B, N) int32: sorted slot -> original index,
+    #                         or None when the caller's frame IS the sorted
+    #                         frame (presorted=True) — no sort/unsort permute
     inverse: jnp.ndarray    # (B, N) int32: original index -> sorted slot
+    #                         (None iff order is None)
     rel: jnp.ndarray        # (B, T, K, P) int32: window-relative neighbor
     #                         slot, or -1 when absent/far (one-hot of -1
     #                         matches no window row, so it gathers zeros)
@@ -68,7 +73,7 @@ class WindowMap:
     far_k: jnp.ndarray      # (B, F) int32: stencil offset index
     far_ok: jnp.ndarray     # (B, F) bool
     far_dropped: jnp.ndarray  # (B,) int32 telemetry: links beyond capacity
-    nmap: NeighborMap       # original-order map (for the dW backward)
+    nmap: NeighborMap       # original-order map (kept for diagnostics)
     tile: int = flax.struct.field(pytree_node=False)
     halo: int = flax.struct.field(pytree_node=False)
     window: int = flax.struct.field(pytree_node=False)  # Wn = min(N, P+2H)
@@ -84,14 +89,19 @@ def _choose_tile(n: int) -> int:
 def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
                      halo: int = 256, far_capacity: int | None = None,
                      tile: int | None = None, sort_order=None,
-                     sort_inverse=None, extent: int | None = None
-                     ) -> WindowMap:
+                     sort_inverse=None, extent: int | None = None,
+                     presorted: bool = False) -> WindowMap:
     """grid_coord: (B, N, 3) int32 >= 0; mask: (B, N) bool.
 
     sort_order/sort_inverse: optionally reuse an existing spatially-local
     serialization sort (any SFC order qualifies — the window statistics
     hold for hilbert as for z) instead of argsorting z-codes again; the
     backbone passes its per-stage aux order (models/ptv3.py _make_aux).
+
+    presorted: the caller's point frame is ALREADY a spatially-local
+    serialized order (the sorted-resident backbone): neighbor indices from
+    build_neighbor_map are window slots directly, order/inverse are None,
+    and subm_conv_windowed skips the sort/unsort permutes entirely.
     """
     B, N, _ = grid_coord.shape
     nmap = build_neighbor_map(grid_coord, mask, kernel_size, depth,
@@ -106,7 +116,11 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
         far_capacity = max(P, N // 2)
     F = 1 if Wn == N else far_capacity  # no far links possible at Wn == N
 
-    if sort_order is not None:
+    if presorted:
+        # the frame is already serialized: neighbor indices ARE sorted slots
+        order = inverse = None
+        q, ok = nmap.idx, nmap.ok
+    elif sort_order is not None:
         order = sort_order.astype(jnp.int32)
         inverse = (sort_inverse if sort_inverse is not None
                    else jnp.argsort(order, axis=-1)).astype(jnp.int32)
@@ -116,23 +130,24 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
         order = jnp.argsort(codes, axis=-1).astype(jnp.int32)   # (B, N)
         inverse = jnp.argsort(order, axis=-1).astype(jnp.int32)
 
-    # neighbor sorted slots, arranged by destination sorted slot. The row
-    # rearrangement (B, N, K+1) -> sorted order is a row permute; small
-    # integers are exact in f32, so it can ride the one-hot MXU kernel
-    q_orig = jnp.take_along_axis(
-        inverse, nmap.idx.reshape(B, -1), axis=-1).reshape(B, N, K)
-    from .pallas_gather import permute_rows
-    from .pallas_attention import pallas_available
-    if pallas_available():
-        qo = jnp.concatenate(
-            [q_orig.astype(jnp.float32), nmap.ok.astype(jnp.float32)], -1)
-        qo = permute_rows(qo, order)
-        q = qo[..., :K].astype(jnp.int32)
-        ok = qo[..., K:] > 0.5
-    else:
-        gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
-        q = jnp.take_along_axis(q_orig, gather_order, axis=1)    # (B, N, K)
-        ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
+    if not presorted:
+        # neighbor sorted slots, arranged by destination sorted slot. The
+        # row rearrangement (B, N, K+1) -> sorted order is a row permute;
+        # small integers are exact in f32, so it rides the one-hot kernel
+        q_orig = jnp.take_along_axis(
+            inverse, nmap.idx.reshape(B, -1), axis=-1).reshape(B, N, K)
+        from .pallas_gather import permute_rows
+        from .pallas_attention import pallas_available
+        if pallas_available():
+            qo = jnp.concatenate(
+                [q_orig.astype(jnp.float32), nmap.ok.astype(jnp.float32)], -1)
+            qo = permute_rows(qo, order)
+            q = qo[..., :K].astype(jnp.int32)
+            ok = qo[..., K:] > 0.5
+        else:
+            gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
+            q = jnp.take_along_axis(q_orig, gather_order, axis=1)  # (B,N,K)
+            ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
 
     slot = jnp.arange(N, dtype=jnp.int32)
     win_start = jnp.clip(
@@ -280,15 +295,113 @@ def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
     from .pallas_gather import permute_rows
     B, N, Cin = feat.shape
     # sort/unsort are row permutes: one-hot MXU kernel on TPU
-    # (ops/pallas_gather.py), XLA gather elsewhere
-    feat_sorted = permute_rows(feat, wmap.order, interpret=interpret)
+    # (ops/pallas_gather.py), XLA gather elsewhere; skipped entirely when
+    # the caller's frame is the sorted frame (presorted WindowMap)
+    feat_sorted = feat if wmap.order is None else \
+        permute_rows(feat, wmap.order, interpret=interpret)
     out_sorted = _windowed_core(
         feat_sorted, wmap.rel, weight,
         tile=wmap.tile, halo=wmap.halo, wn=wmap.window, interpret=interpret)
     if wmap.window < N:  # static: a full-cloud window has no far links
         out_sorted = out_sorted + _far_correction(feat_sorted, wmap, weight)
-    out = permute_rows(out_sorted, wmap.inverse, interpret=interpret)
-    return out
+    if wmap.inverse is None:
+        return out_sorted
+    return permute_rows(out_sorted, wmap.inverse, interpret=interpret)
+
+
+def _dw_kernel(rel_ref, g_ref, feat_hbm, dw_ref, window, sem, *,
+               tile, halo, wn, n):
+    """dW[k] += gather(window, rel_k)^T @ g_tile, accumulated across the
+    whole (b, t) sweep. Grid is (K, B, T) with k OUTERMOST so the dW block
+    for tap k stays VMEM-resident while every window streams through; the
+    window DMA re-issues per step (compute is ~Cin MACs per DMA'd byte, so
+    the copy hides under the MXU on any healthy part)."""
+    k = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    start = jnp.clip(t * tile - halo, 0, max(n - wn, 0))
+    align = int(np.gcd.reduce([tile, halo or tile, max(n - wn, tile)]))
+    start = pl.multiple_of(start, align)
+    cp = pltpu.make_async_copy(
+        feat_hbm.at[b, pl.ds(start, wn), :], window, sem)
+    cp.start()
+    cp.wait()
+
+    rel = rel_ref[0, 0, k]                                   # (P,) int32
+    win = window[...]                                        # (Wn, Cin)
+    onehot = (rel[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (tile, wn), 1))
+    gathered = jax.lax.dot_general(                          # (P, Cin)
+        onehot.astype(win.dtype), win,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g = g_ref[0]                                             # (P, Cout)
+    dw_ref[0] += jax.lax.dot_general(                        # (Cin, Cout)
+        gathered.astype(jnp.float32), g.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dw_windowed(feat_sorted, g_sorted, rel, *, tile, halo, wn,
+                 interpret=False):
+    """Near-link weight gradient: (K, Cin, Cout) fp32 from sorted-frame
+    features and cotangents (rel as in _windowed_core)."""
+    B, N, Cin = feat_sorted.shape
+    _, T, K, P = rel.shape
+    Cout = g_sorted.shape[-1]
+    cin0 = Cin
+    if Cin % 128 and not interpret:  # same lane alignment as the forward
+        pad = 128 - Cin % 128
+        feat_sorted = jnp.pad(feat_sorted, ((0, 0), (0, 0), (0, pad)))
+        Cin += pad
+    kern = functools.partial(_dw_kernel, tile=tile, halo=halo, wn=wn, n=N)
+    dw = pl.pallas_call(
+        kern,
+        grid=(K, B, T),
+        in_specs=[
+            # full (K, P) block per (b, t) — same Mosaic alignment rule as
+            # the forward (last two block dims must be (8,128)-aligned or
+            # equal to the array dims); the K-row refetch is 13 KB/step
+            pl.BlockSpec((1, 1, K, P), lambda k, b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, Cout), lambda k, b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Cin, Cout), lambda k, b, t: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, Cin, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((wn, Cin), feat_sorted.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * K * (P * wn * Cin + P * Cin * Cout),
+            bytes_accessed=B * T * K * wn * Cin
+            * feat_sorted.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(rel, g_sorted, feat_sorted)
+    return dw[:, :cin0, :]
+
+
+def _dw_far(feat_sorted, g_sorted, wmap: WindowMap, K):
+    """Weight gradient of the compacted far links (XLA, short list)."""
+    from .pallas_gather import permute_rows
+    src = permute_rows(feat_sorted, wmap.far_src).astype(jnp.float32)
+    gdst = permute_rows(g_sorted, wmap.far_dst).astype(jnp.float32)
+    dws = []
+    for k in range(K):
+        sel = ((wmap.far_k == k) & wmap.far_ok)[..., None]
+        dws.append(jnp.einsum(
+            "bfc,bfd->cd", jnp.where(sel, src, 0.0), gdst,
+            preferred_element_type=jnp.float32))
+    return jnp.stack(dws)
 
 
 def _mirror_weight(weight):
@@ -318,25 +431,20 @@ def _windowed_op_bwd(interpret, res, g):
     # dx: same windows, mirrored-transposed weights (stencil symmetry)
     dx = _windowed_forward(g, wmap, _mirror_weight(weight),
                            interpret=interpret).astype(feat.dtype)
-    # dW[k] = sum_{b,n} ok * x[idx_k]^T g : streaming over original order
-    nmap = wmap.nmap
-    K = weight.shape[0]
-    feat32 = feat.astype(jnp.float32)
-
+    # dW[k] = sum_links x[src]^T g[dst]: near links ride the SAME window
+    # structure as the forward (one resident dW tap block per grid-k, see
+    # _dw_kernel) instead of K full-cloud gathers; the compacted far list
+    # supplies the remainder exactly.
     from .pallas_gather import permute_rows
-
-    def step(acc, x):
-        idx_k, ok_k, k = x
-        gathered = permute_rows(feat32, idx_k)
-        gathered = jnp.where(ok_k[..., None], gathered, 0.0)
-        dw_k = jnp.einsum("bnc,bnd->cd", gathered, g,
-                          preferred_element_type=jnp.float32)
-        return acc.at[k].set(dw_k), None
-
-    xs = (jnp.moveaxis(nmap.idx, -1, 0), jnp.moveaxis(nmap.ok, -1, 0),
-          jnp.arange(K))
-    dW, _ = jax.lax.scan(step, jnp.zeros(weight.shape, jnp.float32), xs,
-                         unroll=9)
+    K = weight.shape[0]
+    feat_sorted = feat if wmap.order is None else \
+        permute_rows(feat, wmap.order, interpret=interpret)
+    g_sorted = g if wmap.order is None else \
+        permute_rows(g, wmap.order, interpret=interpret)
+    dW = _dw_windowed(feat_sorted, g_sorted, wmap.rel, tile=wmap.tile,
+                      halo=wmap.halo, wn=wmap.window, interpret=interpret)
+    if wmap.window < feat.shape[1]:  # static: full-window => no far links
+        dW = dW + _dw_far(feat_sorted, g_sorted, wmap, K)
     return dx, dW.astype(weight.dtype), _float0_zeros(wmap)
 
 

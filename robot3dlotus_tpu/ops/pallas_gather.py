@@ -365,6 +365,19 @@ def _smallc_fwd_call(x, idx, interpret=False):
     )(idx4, xr)
 
 
+def permute_rows_any(x, idx, interpret=False):
+    """Width-aware row permute: the two-level small-C kernel when the lane
+    padding of the flat one-hot would dominate (C <= 32), the flat one-hot
+    otherwise, XLA take_along_axis when neither qualifies. idx must be a
+    full permutation or in-range (no sentinel zeros contract needed)."""
+    from .pallas_attention import pallas_available
+    n, c = x.shape[1], x.shape[2]
+    if (pallas_available() and c <= 32 and n % _NSUB == 0
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return gather_rows_smallc(x, idx, interpret=interpret)
+    return permute_rows(x, idx, interpret=interpret)
+
+
 def permute_rows(x, idx, impl="auto", interpret=False):
     """out[b, m] = x[b, idx[b, m]] for x (B, N, C), idx (B, M) int.
 

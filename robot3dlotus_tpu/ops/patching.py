@@ -74,3 +74,27 @@ def scatter_back(attn_out: jnp.ndarray, inverse: jnp.ndarray):
         from .pallas_gather import permute_rows
         return permute_rows(attn_out, inverse)
     return jnp.take_along_axis(attn_out, _expand_idx(inverse, attn_out), axis=1)
+
+
+def dup_pad_identity(x_sorted: jnp.ndarray, counts: jnp.ndarray,
+                     patch_size: int):
+    """Duplicate-padding when x is ALREADY in serialized order (the
+    sorted-resident backbone dataflow): src_pos degenerates to
+    {p, p-P, dead}, so the gather is a static shift + select — zero
+    permute work, pure VPU.
+
+    x_sorted: (B, N, ...) serialized order; counts: (B,) valid prefix
+    lengths. Matches gather_sorted(x, identity_order, src_pos) on all live
+    rows (p < npad); dead rows get the shifted value instead of row 0 —
+    they are key-masked and never scattered back, so the difference is
+    unobservable (see build_pad_maps docstring).
+    """
+    B, N = x_sorted.shape[:2]
+    p = jnp.arange(N, dtype=jnp.int32)[None, :]
+    m = counts[:, None].astype(jnp.int32)
+    pad_widths = ((0, 0), (patch_size, 0)) + ((0, 0),) * (x_sorted.ndim - 2)
+    shifted = jnp.pad(x_sorted, pad_widths)[:, :N]
+    sel = p < m
+    while sel.ndim < x_sorted.ndim:
+        sel = sel[..., None]
+    return jnp.where(sel, x_sorted, shifted)

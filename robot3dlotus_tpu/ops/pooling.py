@@ -34,8 +34,10 @@ class PoolMaps(NamedTuple):
 def build_pool_maps(codes0_sorted, order0, inverse0, valid_counts, child_cap,
                     pooling_depth=1):
     """codes0_sorted: (B, N) int32 — first-order codes gathered in sorted order
-    (ascending; padding sentinel at the tail). order0/inverse0: (B, N).
-    Returns PoolMaps with child capacity child_cap."""
+    (ascending; padding sentinel at the tail). order0/inverse0: (B, N), or
+    None when the caller's point frame IS the sorted frame (the
+    sorted-resident backbone): cluster then equals seg and the extra int
+    gather is skipped. Returns PoolMaps with child capacity child_cap."""
     B, N = codes0_sorted.shape
     parent = codes0_sorted >> (3 * pooling_depth)
     p = jnp.arange(N, dtype=jnp.int32)[None, :]
@@ -58,8 +60,9 @@ def build_pool_maps(codes0_sorted, order0, inverse0, valid_counts, child_cap,
     cidx = jnp.arange(child_cap, dtype=jnp.int32)[None, :]
     child_mask = cidx < jnp.minimum(child_counts, child_cap)[:, None]
 
-    # segment id per original point
-    cluster = jnp.take_along_axis(seg, inverse0, axis=1)
+    # segment id per original point (identity when frame == sorted frame)
+    cluster = seg if inverse0 is None else \
+        jnp.take_along_axis(seg, inverse0, axis=1)
     return PoolMaps(seg, cluster, head_pos, child_mask, child_counts)
 
 
@@ -96,8 +99,10 @@ def segment_reduce(values_sorted, maps: PoolMaps, child_cap, reduce="max"):
 
 
 def gather_heads(x, order0, maps: PoolMaps):
-    """x: (B, N, ...) original order -> (B, child_cap, ...) head attr."""
-    head_orig = jnp.take_along_axis(order0, maps.head_sorted_pos, axis=1)
+    """x: (B, N, ...) original order -> (B, child_cap, ...) head attr.
+    order0 None = x is already in the sorted frame."""
+    head_orig = maps.head_sorted_pos if order0 is None else \
+        jnp.take_along_axis(order0, maps.head_sorted_pos, axis=1)
     out = x
     idx = head_orig
     while idx.ndim < x.ndim:

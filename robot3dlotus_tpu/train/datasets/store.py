@@ -83,15 +83,23 @@ class MsgpackDirStore:
 class LmdbStore:
     """Reads the reference GemBench LMDB layout (one env per taskvar).
 
+    Uses the `lmdb` binding when importable; otherwise the pure-Python
+    format reader (pylmdb.LmdbFileReader) parses data.mdb directly, so a
+    GemBench checkout is readable on this image with no native deps.
+
     Thread-safety: LMDB environments may be shared across threads, but a
     read TRANSACTION must only be used by one thread at a time — the
     loader's worker pool calls get() concurrently, so transactions are
     cached per-thread (threading.local) while environments are shared
-    under a lock."""
+    under a lock. (The pure reader is stateless after open and needs no
+    per-thread handling.)"""
 
     def __init__(self, root: str):
-        import lmdb  # optional dependency
         import threading
+        try:
+            import lmdb  # optional dependency
+        except ImportError:
+            lmdb = None
         self.root = root
         self._lmdb = lmdb
         self._envs = {}
@@ -109,9 +117,13 @@ class LmdbStore:
             with self._env_lock:
                 env = self._envs.get(taskvar)
                 if env is None:
-                    env = self._lmdb.open(
-                        os.path.join(self.root, taskvar),
-                        readonly=True, lock=False)
+                    path = os.path.join(self.root, taskvar)
+                    if self._lmdb is not None:
+                        env = self._lmdb.open(path, readonly=True,
+                                              lock=False)
+                    else:
+                        from .pylmdb import LmdbFileReader
+                        env = LmdbFileReader(path)
                     self._envs[taskvar] = env
         return env
 
@@ -125,24 +137,38 @@ class LmdbStore:
         return txn
 
     def episodes(self, taskvar):
+        if self._lmdb is None:
+            return [k.decode() for k in self._env(taskvar).keys()]
         txn = self._txn(taskvar)
         return [k.decode() for k in txn.cursor().iternext(values=False)]
 
     def get(self, taskvar, episode):
-        raw = self._txn(taskvar).get(episode.encode())
+        if self._lmdb is None:
+            raw = self._env(taskvar).get(episode.encode())
+        else:
+            raw = self._txn(taskvar).get(episode.encode())
         return _unpack_np(raw)
 
 
 class LmdbWriterStore:
     """Writes the reference GemBench LMDB layout (one env per taskvar,
-    msgpack values — preprocess/generate_dataset_keysteps.py:100-147)."""
+    msgpack values — preprocess/generate_dataset_keysteps.py:100-147).
+
+    With the `lmdb` binding each put() is its own write txn, matching the
+    reference's incremental flow. Without it, records are buffered and the
+    pure-Python single-commit writer (pylmdb.write_lmdb) emits each env on
+    close() — same bytes-on-disk contract, readable by the real binding."""
 
     def __init__(self, root: str, map_size=int(1024 ** 4)):
-        import lmdb
+        try:
+            import lmdb
+        except ImportError:
+            lmdb = None
         self.root = root
         self._lmdb = lmdb
         self.map_size = map_size
         self._envs = {}
+        self._pending = {}  # pure-writer buffers: taskvar -> {key: bytes}
         os.makedirs(root, exist_ok=True)
 
     def _env(self, taskvar):
@@ -152,26 +178,37 @@ class LmdbWriterStore:
         return self._envs[taskvar]
 
     def put(self, taskvar: str, episode: str, record) -> None:
+        if self._lmdb is None:
+            # single-commit writer: buffer per taskvar, flush whenever the
+            # (taskvar-major) producer moves on — bounds RAM to one taskvar
+            for done in [tv for tv in self._pending if tv != taskvar]:
+                self._flush(done)
+            self._pending.setdefault(taskvar, {})[
+                episode.encode("ascii")] = _pack_np(record)
+            return
         env = self._env(taskvar)
         with env.begin(write=True) as txn:
             txn.put(episode.encode("ascii"), _pack_np(record))
+
+    def _flush(self, taskvar):
+        from .pylmdb import write_lmdb
+        write_lmdb(os.path.join(self.root, taskvar),
+                   self._pending.pop(taskvar))
 
     def close(self):
         for env in self._envs.values():
             env.close()
         self._envs = {}
+        for taskvar in list(self._pending):
+            self._flush(taskvar)
 
 
 def open_output_store(path: str, kind: str = "auto"):
-    """Writable episode store: 'lmdb' (reference layout), 'msgpack', or
-    'auto' (lmdb when the package is importable, else msgpack dir)."""
-    if kind == "auto":
-        try:
-            import lmdb  # noqa: F401
-            kind = "lmdb"
-        except ImportError:
-            kind = "msgpack"
-    if kind == "lmdb":
+    """Writable episode store: 'lmdb' (reference layout — via the binding
+    or the pure-Python writer) or 'msgpack' (this framework's own dependency-
+    light format). 'auto' = lmdb: the reference layout needs no native deps
+    anymore (pylmdb)."""
+    if kind in ("auto", "lmdb"):
         return LmdbWriterStore(path)
     return MsgpackDirStore(path)
 

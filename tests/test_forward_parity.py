@@ -142,14 +142,20 @@ def _convert_params(state_dict, my_model, sample_args, model_cfg, rng):
     return variables
 
 
-def _compare_final(my_out, ref_out, clouds, atol):
-    """my_out: dict(feat (B,cap,C), mask); ref_out: EasyDict(feat, offset)."""
+def _compare_final(my_out, ref_out, clouds, atol, sort0=None):
+    """my_out: dict(feat (B,cap,C), mask); ref_out: EasyDict(feat, offset).
+
+    The TPU backbone returns per-point features in its sorted-resident
+    frame (ptv3.py); sort0 (B, cap) maps frame position -> input index, so
+    the reference row for frame position p is ref[start + sort0[b, p]]."""
     ref_feat = ref_out.feat.detach().numpy()
     start = 0
     for b, g in enumerate(clouds):
         n = len(g)
         mine = np.asarray(my_out["feat"][b, :n])
         ref = ref_feat[start:start + n]
+        if sort0 is not None:
+            ref = ref[np.asarray(sort0[b, :n])]
         np.testing.assert_allclose(mine, ref, atol=atol, rtol=1e-5)
         start += n
 
@@ -174,7 +180,8 @@ def test_backbone_forward_parity_plain():
                           deterministic=True)
     final = outs[-1]
     final["feat"].block_until_ready()
-    _compare_final(final, ref_outs[-1], clouds, atol=2e-5)
+    _compare_final(final, ref_outs[-1], clouds, atol=2e-5,
+                   sort0=outs[0]["sort0"])
 
 
 def test_backbone_forward_parity_cosine_only_decoder():
@@ -242,7 +249,8 @@ def test_backbone_forward_parity_cosine_only_decoder():
 
     outs = my_model.apply(variables, coord, feat, mask, counts,
                           context_vec=cv, deterministic=True)
-    _compare_final(outs[-1], ref_outs[-1], clouds, atol=3e-5)
+    _compare_final(outs[-1], ref_outs[-1], clouds, atol=3e-5,
+                   sort0=outs[0]["sort0"])
 
 
 import pytest
@@ -328,4 +336,5 @@ def test_backbone_forward_parity_ca(only_dec):
     outs = my_model.apply(variables, coord, feat, mask, counts,
                           context=ctx, context_mask=ctx_mask,
                           deterministic=True)
-    _compare_final(outs[-1], ref_outs[-1], clouds, atol=2e-5)
+    _compare_final(outs[-1], ref_outs[-1], clouds, atol=2e-5,
+                   sort0=outs[0]["sort0"])
