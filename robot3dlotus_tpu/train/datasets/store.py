@@ -4,7 +4,8 @@ The reference uses LMDB+msgpack (simple_policy_dataset.py:62-79). This
 framework supports three interchangeable backends behind one API:
 
   * LmdbStore       — reads the reference's GemBench LMDB layout verbatim
-                      (requires the `lmdb` package).
+                      (via the `lmdb` binding when present, else the pure-
+                      Python format reader in pylmdb.py).
   * MsgpackDirStore — our own dependency-light format: one .msgpack file per
                       episode under <root>/<taskvar>/<episode>.msgpack.
   * SyntheticStore  — procedurally generated episodes with the exact field
@@ -29,20 +30,43 @@ import msgpack
 
 
 def _pack_np(obj):
+    """msgpack encode with msgpack_numpy's exact wire format for ndarrays
+    (b'nd'/b'type'/b'kind'/b'shape'/b'data') so our bytes are readable by
+    the reference's msgpack_numpy-patched loaders and vice versa
+    (simple_policy_dataset.py:62-79, generate_dataset_keysteps.py:100-147).
+    numpy scalars are lowered to plain python numbers (reference records
+    only carry arrays/lists/strings at the scalar positions)."""
     def default(o):
         if isinstance(o, np.ndarray):
-            return {b"__nd__": True, b"d": o.tobytes(),
-                    b"t": o.dtype.str, b"s": list(o.shape)}
-        if isinstance(o, (np.integer,)):
+            if o.dtype.kind == "V":
+                raise TypeError("structured ndarrays unsupported")
+            return {b"nd": True, b"type": o.dtype.str, b"kind": b"",
+                    b"shape": list(o.shape), b"data": o.tobytes()}
+        if isinstance(o, np.bool_):
+            return bool(o)
+        if isinstance(o, np.integer):
             return int(o)
-        if isinstance(o, (np.floating,)):
+        if isinstance(o, np.floating):
             return float(o)
         raise TypeError(type(o))
     return msgpack.packb(obj, default=default, use_bin_type=True)
 
 
 def _unpack_np(buf):
+    """msgpack decode accepting msgpack_numpy's wire format (what GemBench
+    LMDB values and our own _pack_np contain) plus this repo's legacy
+    '__nd__' convention from pre-round-3 MsgpackDirStore files."""
     def object_hook(o):
+        nd = o.get(b"nd", o.get("nd"))
+        if nd is True:
+            d = o.get(b"data", o.get("data"))
+            t = o.get(b"type", o.get("type"))
+            s = o.get(b"shape", o.get("shape"))
+            return np.frombuffer(d, dtype=np.dtype(t)).reshape(s)
+        if nd is False:  # msgpack_numpy numpy scalar
+            d = o.get(b"data", o.get("data"))
+            t = o.get(b"type", o.get("type"))
+            return np.frombuffer(d, dtype=np.dtype(t))[0]
         if o.get(b"__nd__") or o.get("__nd__"):
             d = o.get(b"d", o.get("d"))
             t = o.get(b"t", o.get("t"))
