@@ -9,8 +9,10 @@ TPU-first differences:
   * the model forward AND the disc-position/rotation decode are one jitted
     program (the reference syncs to host numpy mid-predict,
     simple_policy_ptv3.py:254-295);
-  * inputs are padded to the static num_points capacity, so every call hits
-    the same compiled executable (<10 ms p50 target after warmup);
+  * inputs are padded to point-capacity buckets (num_points/4, /2, /1 by
+    default), so every call hits a cached executable sized for the cloud,
+    and are host-presorted into the stage-0 serialized frame so the device
+    entry argsort vanishes (assume_sorted backbone);
   * CLIP embeddings come from the precomputed cache; unseen instructions are
     encoded on demand via transformers when available.
 """
@@ -56,6 +58,34 @@ class Actioner:
         self.num_points = int(self.data_cfg.get("num_points", 4096))
 
         self.model = build_model(self.config.MODEL)
+        # eval twin that trusts host-presorted inputs: process_point_clouds
+        # returns clouds already sorted by the stage-0 SFC code (host numpy,
+        # <1 ms), so the backbone's entry argsort — device sorts are slow on
+        # TPU — drops off the latency path (ptv3 assume_sorted; safe for the
+        # shuffled-ensemble program too, which re-sorts whenever order
+        # shuffling is active). Same params: the flag only gates a permute.
+        eval_model_cfg = {k: (dict(v, assume_sorted=True)
+                              if k == "ptv3_config" else v)
+                          for k, v in dict(self.config.MODEL).items()}
+        self.model_eval = build_model(eval_model_cfg)
+        _p3 = self.config.MODEL.ptv3_config
+        self._presort_cfg = (
+            tuple(_p3.get("order") or _p3.get("orders")
+                  or ("z", "z-trans", "hilbert", "hilbert-trans"))[0],
+            int(_p3.get("serial_depth", 10)),
+            float(self.act_cfg.get("voxel_size", 0.01)),
+        )
+        # eval-side point-capacity buckets (mirrors collate.py's text
+        # buckets): 1 cm-voxelized robot-removed clouds are typically 1-2k
+        # points, so most steps compile/run at a fraction of num_points
+        pb = os.environ.get("ROBOT3DLOTUS_POINT_BUCKETS")
+        if pb:
+            self._point_buckets = tuple(
+                sorted({min(int(x), self.num_points) for x in pb.split(",")}))
+        else:
+            self._point_buckets = tuple(sorted({
+                max(self.num_points // 4, 256), self.num_points // 2,
+                self.num_points}))
         rng = jax.random.PRNGKey(0)
         sample = self._dummy_batch()
         from ..train.trainer import init_variables
@@ -138,7 +168,7 @@ class Actioner:
 
     def _predict_fn(self, T):
         if T not in self._jit_cache:
-            model, act_cfg = self.model, self.act_cfg
+            model, act_cfg = self.model_eval, self.act_cfg
 
             @jax.jit
             def run(variables, batch):
@@ -148,7 +178,7 @@ class Actioner:
             self._jit_cache[T] = run
         return self._jit_cache[T]
 
-    def _predict_fn_flat_batch(self, cin):
+    def _predict_fn_flat_batch(self, cin, N=None):
         """Flat path, single obs and batches alike: B observations ride ONE
         (B, row) H2D buffer unpacked by static slices inside the jitted
         program, plus the stacked text context. On a tunneled/remote device
@@ -158,10 +188,12 @@ class Actioner:
         B=1; `predict_batch` (the eval-server consumer draining queued
         queries from several sim producers) at bucketed B — ONE program
         definition, so the row layout cannot drift between the two.
-        jax.jit retraces per (B, T) shape."""
-        key = ("flatb", cin)
+        jax.jit retraces per (B, T) shape; N is the point-capacity bucket
+        (one executable per bucket, chosen per cloud)."""
+        N = self.num_points if N is None else N
+        key = ("flatb", cin, N)
         if key not in self._jit_cache:
-            model, act_cfg, N = self.model, self.act_cfg, self.num_points
+            model, act_cfg = self.model_eval, self.act_cfg
             row = N * (cin + 1) + 10
 
             @jax.jit
@@ -226,10 +258,10 @@ class Actioner:
             arm_links_info=obs.get("arm_links_info"), taskvar=taskvar)
         return instructions, instr_embed, pc_ft, centroid, radius, ee_pose
 
-    def _pack_flat_row(self, out, pc_ft, ee_pose, step_id):
+    def _pack_flat_row(self, out, pc_ft, ee_pose, step_id, N=None):
         """One observation into one row of the flat H2D buffer (the layout
         `_predict_fn_flat_batch` unpacks)."""
-        N = self.num_points
+        N = self.num_points if N is None else N
         cin = pc_ft.shape[-1]
         n = min(len(pc_ft), N)
         out[:n * cin] = pc_ft[:n].ravel()
@@ -307,7 +339,7 @@ class Actioner:
         eval_simple_policy.py:319-328)."""
         key = ("shuffled", T)
         if key not in self._jit_cache:
-            model, act_cfg = self.model, self.act_cfg
+            model, act_cfg = self.model_eval, self.act_cfg
 
             @jax.jit
             def run(variables, batch, rng):
@@ -418,7 +450,27 @@ class Actioner:
         # dumped train config which may omit the key
         if self.data_cfg.get("use_height", True):
             pc_ft = np.concatenate([pc_ft, height[:, None]], 1)
-        return pc_ft.astype(np.float32), centroid, radius, ee_pose
+        return self._presort(pc_ft.astype(np.float32)), centroid, radius, \
+            ee_pose
+
+    def _presort(self, pc_ft):
+        """Sort the cloud by the backbone's stage-0 SFC code on the host —
+        the exact order the device entry sort would compute (float32 grid
+        math identical to ptv3.compute_grid_coord + sfc_encode, bit-match
+        enforced by tests/test_serialization.py) — so the eval programs run
+        with assume_sorted and skip the device argsort. Row order is
+        semantically irrelevant to every consumer (actions are per-cloud),
+        so presorting unconditionally is safe even for programs built
+        without the flag."""
+        from ..ops.serialization import sfc_encode_np
+        order0, depth, grid_size = self._presort_cfg
+        xyz = pc_ft[:, :3]
+        gc = np.floor(
+            (xyz - xyz.min(0, keepdims=True)) / np.float32(grid_size)
+        ).astype(np.int32)
+        np.clip(gc, 0, (1 << depth) - 1, out=gc)
+        code = sfc_encode_np(gc, order0, depth)
+        return pc_ft[np.argsort(code, kind="stable")]
 
     # ------------------------------------------------------------------ #
     # fused on-device path (ops/eval_preprocess.py)
@@ -527,7 +579,6 @@ class Actioner:
         if pc_ft is None or len(pc_ft) <= 10:
             return {"action": self._zero_action()}
 
-        N = self.num_points
         cin = pc_ft.shape[-1]
         if self.num_ensembles > 1:
             T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
@@ -535,15 +586,18 @@ class Actioner:
                 [(pc_ft, ee_pose, instr_embed, step_id)], 1, T).items()}
             action = self._ensemble_predict(T, batch)
         elif self.mesh is not None:
+            # the mesh path keeps the full static capacity: the point axis
+            # is sp-sharded, so its extent must stay divisible by the mesh
             T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
             action = self._mesh_predict_rows(
                 [(pc_ft, ee_pose, instr_embed, step_id)], 1, T)[0].copy()
         else:
+            N = _bucket(len(pc_ft), self._point_buckets)
             flat = np.zeros((1, N * (cin + 1) + 10), np.float32)
-            self._pack_flat_row(flat[0], pc_ft, ee_pose, step_id)
+            self._pack_flat_row(flat[0], pc_ft, ee_pose, step_id, N=N)
             txt_dev, txt_mask_dev = self._staged_txt(
                 instructions[0], instr_embed, batched=True)
-            run = self._predict_fn_flat_batch(cin)
+            run = self._predict_fn_flat_batch(cin, N)
             # np.array: device arrays view as read-only numpy
             action = np.array(run(self.variables, jnp.asarray(flat),
                                   txt_dev, txt_mask_dev))[0]
@@ -573,7 +627,6 @@ class Actioner:
                 len(payloads) == 1:
             return [self.predict(**p) for p in payloads]
 
-        N = self.num_points
         outs: list = [None] * len(payloads)
         prepped = []
         for i, p in enumerate(payloads):
@@ -589,7 +642,6 @@ class Actioner:
             return outs
 
         cin = prepped[0][1].shape[-1]
-        row = N * (cin + 1) + 10
         cap = self._BATCH_BUCKETS[-1]
         for c0 in range(0, len(prepped), cap):
             chunk = prepped[c0:c0 + cap]
@@ -601,13 +653,17 @@ class Actioner:
                      for _, pc_ft, _, _, ee_pose, instr_embed, step_id
                      in chunk], B, T)
             else:
-                run = self._predict_fn_flat_batch(cin)
-                flat = np.zeros((B, row), np.float32)
+                # point capacity bucketed on the chunk's largest cloud
+                Nb = _bucket(max(len(pr[1]) for pr in chunk),
+                             self._point_buckets)
+                run = self._predict_fn_flat_batch(cin, Nb)
+                flat = np.zeros((B, Nb * (cin + 1) + 10), np.float32)
                 txt = np.zeros((B, T, chunk[0][5].shape[-1]), np.float32)
                 txt_mask = np.zeros((B, T), bool)
                 for r, (_, pc_ft, _, _, ee_pose, instr_embed, step_id) in \
                         enumerate(chunk):
-                    self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id)
+                    self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id,
+                                        N=Nb)
                     t = min(instr_embed.shape[0], T)
                     txt[r, :t] = instr_embed[:t]
                     txt_mask[r, :t] = True

@@ -149,6 +149,71 @@ def serialize_codes(grid_coord: jnp.ndarray, mask: jnp.ndarray, depth: int,
     return jnp.where(mask[None], codes, sentinel)
 
 
+# ------------------------------ host twins -----------------------------------
+# numpy implementations of the same codecs, bit-identical to the jnp ones
+# (tests/test_serialization.py), so the eval actioner can presort a cloud
+# into the stage-0 serialized frame on the host — removing the device
+# argsort from the single-observation latency path (ptv3 assume_sorted).
+
+def z_order_encode_np(grid_coord, depth: int = 10):
+    import numpy as np
+    assert depth <= MAX_DEPTH_I32
+    x = grid_coord[..., 0].astype(np.int32)
+    y = grid_coord[..., 1].astype(np.int32)
+    z = grid_coord[..., 2].astype(np.int32)
+    key = np.zeros_like(x)
+    for i in range(depth):
+        m = np.int32(1 << i)
+        key = (key | ((x & m) << (2 * i + 2)) | ((y & m) << (2 * i + 1))
+               | ((z & m) << (2 * i + 0)))
+    return key
+
+
+def hilbert_encode_np(grid_coord, depth: int = 10):
+    import numpy as np
+    assert depth <= MAX_DEPTH_I32
+    X = [grid_coord[..., d].astype(np.int32) for d in range(3)]
+    M = 1 << (depth - 1)
+    Q = M
+    while Q > 1:
+        P = np.int32(Q - 1)
+        for i in range(3):
+            cond = (X[i] & Q) > 0
+            t = (X[0] ^ X[i]) & P
+            X0_if, X0_else = X[0] ^ P, X[0] ^ t
+            Xi_else = X[i] ^ t
+            X[0] = np.where(cond, X0_if, X0_else)
+            if i != 0:
+                X[i] = np.where(cond, X[i], Xi_else)
+        Q >>= 1
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        t = np.where((X[2] & Q) > 0, t ^ np.int32(Q - 1), t)
+        Q >>= 1
+    X = [X[0] ^ t, X[1] ^ t, X[2] ^ t]
+    key = np.zeros_like(X[0])
+    for b in range(depth):
+        src = depth - 1 - b
+        for d in range(3):
+            dst = 3 * (depth - 1 - b) + (2 - d)
+            key = key | (((X[d] >> src) & 1) << dst)
+    return key
+
+
+def sfc_encode_np(grid_coord, order: str, depth: int = 10):
+    assert order in SFC_ORDERS, order
+    if order == "z":
+        return z_order_encode_np(grid_coord, depth)
+    if order == "z-trans":
+        return z_order_encode_np(grid_coord[..., [1, 0, 2]], depth)
+    if order == "hilbert":
+        return hilbert_encode_np(grid_coord, depth)
+    return hilbert_encode_np(grid_coord[..., [1, 0, 2]], depth)
+
+
 def argsort_with_inverse(codes: jnp.ndarray):
     """Sort each (B, N) row ascending; return (order, inverse).
 

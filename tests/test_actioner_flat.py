@@ -120,3 +120,62 @@ def test_mp_flat_predict_matches_dict_batch(tmp_path):
     got = eng.predict(pc_ft, labels, txt, ee, pc_centroid=np.zeros(3),
                       pc_radius=1.0, table_height=-10.0)
     np.testing.assert_array_equal(ref, got)
+
+
+def test_bucketed_presorted_path_matches_full_capacity_model(tmp_path):
+    """The latency path (host presort into the stage-0 SFC frame +
+    assume_sorted backbone + point-capacity bucketing) must reproduce the
+    ground-truth program: the plain backbone (device entry sort) at full
+    num_points capacity on the unsorted cloud."""
+    import jax
+    from robot3dlotus_tpu.models.simple_policy import decode_actions
+
+    a = _actioner(tmp_path)
+    rng = np.random.RandomState(7)
+    N = a.num_points
+    n = N // 4 + 3  # lands in the smallest point bucket
+    cin = int(a.config.MODEL.ptv3_config.in_channels)
+    pc_ft = rng.uniform(-0.4, 0.4, (n, cin)).astype(np.float32)
+    instr_embed = rng.randn(3, 64).astype(np.float32)
+    ee = np.asarray([0.1, -0.2, 0.9, 0, 0, 0, 1, 1], np.float32)
+
+    # ground truth: plain model (assume_sorted=False), full capacity,
+    # UNSORTED input — the device does the entry sort
+    pc = np.zeros((1, N, cin), np.float32)
+    pc[0, :n] = pc_ft
+    mask = np.zeros((1, N), bool)
+    mask[0, :n] = True
+    T = _bucket(instr_embed.shape[0], TXT_BUCKETS)
+    txt = np.zeros((1, T, instr_embed.shape[-1]), np.float32)
+    txt[0, :3] = instr_embed
+    txt_mask = np.zeros((1, T), bool)
+    txt_mask[0, :3] = True
+    batch = {
+        "pc_fts": jnp.asarray(pc), "pc_mask": jnp.asarray(mask),
+        "pc_counts": jnp.asarray([n], jnp.int32),
+        "txt_embeds": jnp.asarray(txt), "txt_mask": jnp.asarray(txt_mask),
+        "ee_poses": jnp.asarray(ee[None]),
+        "step_ids": jnp.asarray([2], jnp.int32),
+    }
+
+    @jax.jit
+    def run_plain(variables, batch):
+        preds = a.model.apply(variables, batch, deterministic=True)
+        return decode_actions(preds, a.act_cfg)
+
+    ref = np.asarray(run_plain(a.variables, batch))[0]
+
+    # latency path: host presort + smallest bucket + assume_sorted program
+    pc_sorted = a._presort(pc_ft)
+    assert pc_sorted.shape == pc_ft.shape
+    assert sorted(map(tuple, pc_sorted.tolist())) == \
+        sorted(map(tuple, pc_ft.tolist()))  # a permutation, nothing lost
+    Nb = _bucket(n, a._point_buckets)
+    assert Nb < N
+    flat = np.zeros((1, Nb * (cin + 1) + 10), np.float32)
+    a._pack_flat_row(flat[0], pc_sorted, ee, 2, N=Nb)
+    txt_dev, txt_mask_dev = a._staged_txt("instr", instr_embed, batched=True)
+    got = np.asarray(a._predict_fn_flat_batch(cin, Nb)(
+        a.variables, jnp.asarray(flat), txt_dev, txt_mask_dev))[0]
+
+    np.testing.assert_allclose(ref, got, atol=1e-5, rtol=1e-5)

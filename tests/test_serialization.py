@@ -80,3 +80,15 @@ def test_serialize_codes_padding_sorts_last():
     # inverse really inverts
     inv0 = np.asarray(inverse[0, 0])
     np.testing.assert_array_equal(order0[inv0], np.arange(64))
+
+
+@pytest.mark.parametrize("depth", [4, 7, 10])
+@pytest.mark.parametrize("order", ["z", "z-trans", "hilbert", "hilbert-trans"])
+def test_np_twins_bit_match_jnp(depth, order):
+    """Host (numpy) encoders — used for eval-time presorting — are
+    bit-identical to the device codecs."""
+    from robot3dlotus_tpu.ops.serialization import sfc_encode_np
+    gc = rand_grid(512, depth, seed=11)
+    dev = np.asarray(sfc_encode(jnp.asarray(gc), order, depth))
+    host = sfc_encode_np(gc, order, depth)
+    np.testing.assert_array_equal(host, dev)
