@@ -62,6 +62,13 @@ def bench_latency(num_calls=None, warmup=5):
     model = SimplePolicyTPU(
         ptv3_cfg=dict(RELEASE_PTV3, compute_dtype=lat_dtype),
         act_cfg=RELEASE_ACT, variant="ca")
+    # the serving path's model twin: inputs arrive host-presorted in the
+    # stage-0 SFC frame, so the device entry argsort is skipped
+    # (eval/actioner.py _presort + assume_sorted)
+    model_sorted = SimplePolicyTPU(
+        ptv3_cfg=dict(RELEASE_PTV3, compute_dtype=lat_dtype,
+                      assume_sorted=True),
+        act_cfg=RELEASE_ACT, variant="ca")
     dummy = {
         "pc_fts": jnp.zeros((1, N, 7), jnp.float32),
         "pc_mask": jnp.ones((1, N), bool),
@@ -77,21 +84,44 @@ def bench_latency(num_calls=None, warmup=5):
     # transfer pays ~1 ms of RPC latency, so 7 separate batch arrays cost
     # ~7 ms before the forward even starts. The jitted program unpacks
     # static slices; per-episode constants (instruction embedding) are
-    # staged once outside the loop.
-    @jax.jit
-    def run_flat(variables, flat, txt_dev, txt_mask_dev):
-        pc = flat[:N * 7].reshape(1, N, 7)
-        mask = flat[N * 7:N * 8].reshape(1, N) > 0.5
-        count = flat[N * 8].astype(jnp.int32)[None]
-        ee = flat[N * 8 + 1:N * 8 + 9].reshape(1, 8)
-        step_id = flat[N * 8 + 9].astype(jnp.int32)[None]
-        batch = {
-            "pc_fts": pc, "pc_mask": mask, "pc_counts": count,
-            "txt_embeds": txt_dev, "txt_mask": txt_mask_dev,
-            "ee_poses": ee, "step_ids": step_id,
-        }
-        preds = model.apply(variables, batch, deterministic=True)
-        return decode_actions(preds, RELEASE_ACT)
+    # staged once outside the loop. One executable per point-capacity
+    # bucket (eval/actioner.py _point_buckets): typical 1 cm-voxelized
+    # robot-removed clouds are 1-2k points, a fraction of num_points.
+    buckets = tuple(sorted({max(N // 4, 256), N // 2, N}))
+
+    def make_run_flat(nb):
+        @jax.jit
+        def run_flat(variables, flat, txt_dev, txt_mask_dev):
+            pc = flat[:nb * 7].reshape(1, nb, 7)
+            mask = flat[nb * 7:nb * 8].reshape(1, nb) > 0.5
+            count = flat[nb * 8].astype(jnp.int32)[None]
+            ee = flat[nb * 8 + 1:nb * 8 + 9].reshape(1, 8)
+            step_id = flat[nb * 8 + 9].astype(jnp.int32)[None]
+            batch = {
+                "pc_fts": pc, "pc_mask": mask, "pc_counts": count,
+                "txt_embeds": txt_dev, "txt_mask": txt_mask_dev,
+                "ee_poses": ee, "step_ids": step_id,
+            }
+            preds = model_sorted.apply(variables, batch, deterministic=True)
+            return decode_actions(preds, RELEASE_ACT)
+        return run_flat
+
+    run_flat_by_bucket = {}  # compiled lazily: only buckets the obs hits
+
+    from robot3dlotus_tpu.ops.serialization import sfc_encode_np, SFC_ORDERS
+    p3 = RELEASE_PTV3
+    presort_order = tuple(p3.get("orders") or p3.get("order")
+                          or SFC_ORDERS)[0]
+    presort_depth = int(p3.get("serial_depth", 10))
+    grid_size = np.float32(RELEASE_ACT.get("voxel_size", 0.01))
+
+    def presort(pc_ft):
+        xyz = pc_ft[:, :3]
+        gc = np.floor((xyz - xyz.min(0, keepdims=True)) / grid_size
+                      ).astype(np.int32)
+        np.clip(gc, 0, (1 << presort_depth) - 1, out=gc)
+        return pc_ft[np.argsort(
+            sfc_encode_np(gc, presort_order, presort_depth), kind="stable")]
 
     # raw observation source: synthetic episodes with full arm link info;
     # 4 cameras x 128x128 = 65,536 raw points, the GemBench observation
@@ -132,6 +162,8 @@ def bench_latency(num_calls=None, warmup=5):
     # caches the instruction embedding per taskvar the same way)
     txt_dev = jnp.asarray(txt)
     txt_mask_dev = jnp.ones((1, T), bool)
+
+    bucket_hits = {}
 
     def one_call(step):
         t = step % len(ep["xyz"])
@@ -182,18 +214,23 @@ def bench_latency(num_calls=None, warmup=5):
         xyz = xyz - centroid
         pc_ft = np.concatenate(
             [xyz, (rgb / 255.0) * 2 - 1, height[:, None]], 1)
+        pc_ft = presort(pc_ft.astype(np.float32))
         n = len(pc_ft)
-        flat = np.zeros(N * 8 + 10, np.float32)
+        nb = next(b for b in buckets if n <= b)
+        bucket_hits[nb] = bucket_hits.get(nb, 0) + 1
+        flat = np.zeros(nb * 8 + 10, np.float32)
         flat[:n * 7] = pc_ft.ravel()
-        flat[N * 7:N * 7 + n] = 1.0
-        flat[N * 8] = n
-        flat[N * 8 + 1:N * 8 + 9] = [0.3, 0, 1.0, 0, 0, 0, 1, 1]
-        flat[N * 8 + 9] = 0
+        flat[nb * 7:nb * 7 + n] = 1.0
+        flat[nb * 8] = n
+        flat[nb * 8 + 1:nb * 8 + 9] = [0.3, 0, 1.0, 0, 0, 0, 1, 1]
+        flat[nb * 8 + 9] = 0
+        if nb not in run_flat_by_bucket:
+            run_flat_by_bucket[nb] = make_run_flat(nb)
         th = time.perf_counter()  # host numpy done; batch H2D next
         flat_dev = jnp.asarray(flat)
         t1 = time.perf_counter()
-        action = np.asarray(run_flat(variables, flat_dev, txt_dev,
-                                     txt_mask_dev))
+        action = np.asarray(run_flat_by_bucket[nb](
+            variables, flat_dev, txt_dev, txt_mask_dev))
         t2 = time.perf_counter()
         return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3, (th - t0) * 1e3
 
@@ -219,9 +256,32 @@ def bench_latency(num_calls=None, warmup=5):
         jax.profiler.stop_trace()
         print(f"bench: wrote latency profiler trace to {prof_dir}",
               file=sys.stderr)
+    # link round-trip floor: the smallest possible jitted call + readback
+    # (8 floats in, 8 out). Everything the model costs on the wire is
+    # p50_device_ms - p50_rtt_ms; on a tunneled dev rig the RTT dominates
+    # and the net figure is what transfers to production (robot co-located
+    # with its TPU host).
+    @jax.jit
+    def _noop(x):
+        return x * 2.0
+
+    tiny = jnp.zeros(8, jnp.float32)
+    np.asarray(_noop(tiny))
+    rtts = []
+    for _ in range(max(10, num_calls)):
+        r0 = time.perf_counter()
+        np.asarray(_noop(tiny))
+        rtts.append((time.perf_counter() - r0) * 1e3)
+    rtt50 = float(np.percentile(rtts, 50))
+
     decomp = {
         "p50_preprocess_ms": round(float(np.percentile(pre_ms, 50)), 3),
         "p50_device_ms": round(float(np.percentile(dev_ms, 50)), 3),
+        "p50_rtt_ms": round(rtt50, 3),
+        "p50_device_net_of_rtt_ms": round(
+            float(np.percentile(dev_ms, 50)) - rtt50, 3),
+        "point_bucket_hits": {str(k): v for k, v in
+                              sorted(bucket_hits.items())},
         "latency_mode": "device_preprocess" if device_pre else
                         "host_preprocess",
     }
@@ -382,40 +442,17 @@ def _backend_initializes(timeout_s=600):
         return False
 
 
-def main():
-    if not _backend_initializes():
-        print("bench: FATAL — jax backend init hung/failed (device tunnel "
-              "down?); refusing to hang forever", file=sys.stderr)
-        sys.exit(3)
+def bench_train(bench_model, B, N, steps, dtype, impl):
+    """One training-throughput measurement ('simple' keystep policy or
+    'motion' planner) at the release configuration. Returns a metrics dict
+    (metric/value/vs_baseline + MFU bookkeeping)."""
     import jax
-    # persistent compile cache: the release-config train step is a large XLA
-    # program; cache it across processes so repeat runs start in seconds
-    # (CPU-backend runs get a per-host subdir, robot3dlotus_tpu/utils/cache.py)
-    from robot3dlotus_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache(jax)
     from __graft_entry__ import (
         RELEASE_PTV3, RELEASE_ACT, LOSS_CFG, _fake_batch, _fake_mp_batch,
     )
     from robot3dlotus_tpu.train.trainer import (
         create_train_state, make_train_step,
     )
-
-    B = int(os.environ.get("BENCH_BATCH", "16"))
-    N = int(os.environ.get("BENCH_POINTS", "4096"))
-    steps = int(os.environ.get("BENCH_STEPS", "3"))
-    # 'simple' (3D-LOTUS policy, the headline metric the driver records) or
-    # 'motion' (3D-LOTUS++ motion planner — BASELINE config 3)
-    bench_model = os.environ.get("BENCH_MODEL", "simple")
-    # BENCH_IMPL=xla disables the one-hot/windowed Pallas kernel family in
-    # one switch (the A/B for healthy hardware where XLA gathers may win);
-    # default 'auto' picks Pallas on a single TPU chip
-    impl = os.environ.get("BENCH_IMPL", "auto")
-    if impl == "xla":
-        os.environ["ROBOT3DLOTUS_FORCE_XLA"] = "1"
-
-    # training runs the backbone in bfloat16 (the TPU-first configuration;
-    # fp32 master params, fp32 losses — see models/ptv3.py compute_dtype)
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     if bench_model == "motion":
         from robot3dlotus_tpu.models.motion_planner import (
             MotionPlannerTPU, compute_mp_loss as compute_loss,
@@ -491,47 +528,16 @@ def main():
 
     n_chips = jax.local_device_count()
     sps_per_chip = float(np.median(window_sps)) / n_chips
-
-    print(f"bench: train {sps_per_chip:.1f} samples/s/chip; "
-          "loader bench...", file=sys.stderr, flush=True)
-    try:
-        loader_sps = bench_loader()
-    except Exception as e:
-        print(f"bench: loader bench failed: {e!r}", file=sys.stderr)
-        loader_sps = None
-    print("bench: latency bench...", file=sys.stderr, flush=True)
-    p50_ms, p99_ms, lat_decomp = bench_latency()
-    serving = {}
-    if os.environ.get("BENCH_SERVING", "0") == "1":
-        print("bench: serving-throughput bench...", file=sys.stderr,
-              flush=True)
-        try:
-            serving = bench_serving()
-        except Exception as e:
-            print(f"bench: serving bench failed: {e!r}", file=sys.stderr)
+    print(f"bench: {metric_name} {sps_per_chip:.1f} samples/s/chip",
+          file=sys.stderr, flush=True)
 
     rec = {
         "metric": metric_name,
         "value": round(sps_per_chip, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_per_chip / BASELINE_SAMPLES_PER_SEC, 3),
-        "p50_latency_ms": round(p50_ms, 3),
-        "p99_latency_ms": round(p99_ms, 3),
-        "latency_target_ms": 10.0,
-        "impl": impl,
     }
-    rec.update(lat_decomp)
-    rec.update(serving)
-    if loader_sps is not None:
-        # host-side input pipeline rate (full preprocessing + collate);
-        # training is input-bound when this is below the train value
-        rec["loader_samples_per_sec_host"] = round(loader_sps, 2)
     kind = jax.devices()[0].device_kind
-    rec["device_kind"] = kind
-    try:
-        rec["device_matmul_tflops"] = round(probe_device_matmul(), 3)
-    except Exception as e:
-        print(f"bench: matmul probe failed: {e!r}", file=sys.stderr)
     if step_flops:
         steps_per_sec = sps_per_chip / B
         # bf16 MXU peak per chip (the standard MFU denominator)
@@ -541,12 +547,6 @@ def main():
                           197e12)
         rec["flops_per_step"] = step_flops
         rec["mfu"] = round(step_flops * steps_per_sec / peak_flops, 4)
-        if rec.get("device_matmul_tflops"):
-            # MFU against what THIS device actually sustains on a plain
-            # matmul — the program-efficiency number the platform can't skew
-            rec["mfu_vs_device_matmul"] = round(
-                step_flops * steps_per_sec /
-                (rec["device_matmul_tflops"] * 1e12), 4)
 
         # honest-MFU bookkeeping: the one-hot gather kernels ADD matmul
         # FLOPs the algorithm doesn't need, so the headline flops_per_step
@@ -574,6 +574,87 @@ def main():
             rec["flops_algorithmic"] = algo
             rec["mfu_algorithmic"] = round(
                 algo * steps_per_sec / peak_flops, 4)
+    return rec
+
+
+def main():
+    """One BENCH JSON line covering every BASELINE config the driver should
+    see (round-2 verdict item 6): headline keystep training + motion-planner
+    training + single-obs latency (+ serving throughput unless skipped).
+    BENCH_FAST=1 restricts to the headline + latency."""
+    if not _backend_initializes():
+        print("bench: FATAL — jax backend init hung/failed (device tunnel "
+              "down?); refusing to hang forever", file=sys.stderr)
+        sys.exit(3)
+    import jax
+    # persistent compile cache: the release-config train step is a large XLA
+    # program; cache it across processes so repeat runs start in seconds
+    # (CPU-backend runs get a per-host subdir, robot3dlotus_tpu/utils/cache.py)
+    from robot3dlotus_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(jax)
+
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    N = int(os.environ.get("BENCH_POINTS", "4096"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
+    # headline model ('simple' keystep policy unless overridden)
+    bench_model = os.environ.get("BENCH_MODEL", "simple")
+    # BENCH_IMPL=xla disables the one-hot/windowed Pallas kernel family in
+    # one switch (the A/B for healthy hardware where XLA gathers may win);
+    # default 'auto' picks Pallas on a single TPU chip
+    impl = os.environ.get("BENCH_IMPL", "auto")
+    if impl == "xla":
+        os.environ["ROBOT3DLOTUS_FORCE_XLA"] = "1"
+    # training runs the backbone in bfloat16 (the TPU-first configuration;
+    # fp32 master params, fp32 losses — see models/ptv3.py compute_dtype)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
+
+    rec = bench_train(bench_model, B, N, steps, dtype, impl)
+    rec["impl"] = impl
+    rec["device_kind"] = jax.devices()[0].device_kind
+    try:
+        rec["device_matmul_tflops"] = round(probe_device_matmul(), 3)
+    except Exception as e:
+        print(f"bench: matmul probe failed: {e!r}", file=sys.stderr)
+    if rec.get("flops_per_step") and rec.get("device_matmul_tflops"):
+        # MFU against what THIS device actually sustains on a plain
+        # matmul — the program-efficiency number the platform can't skew
+        rec["mfu_vs_device_matmul"] = round(
+            rec["flops_per_step"] * (rec["value"] / B) /
+            (rec["device_matmul_tflops"] * 1e12), 4)
+
+    if not fast and bench_model != "motion" and \
+            os.environ.get("BENCH_MOTION", "1") == "1":
+        print("bench: motion-planner train bench...", file=sys.stderr,
+              flush=True)
+        try:
+            rec["motion"] = bench_train("motion", B, N, steps, dtype, impl)
+        except Exception as e:
+            print(f"bench: motion bench failed: {e!r}", file=sys.stderr)
+
+    print("bench: loader bench...", file=sys.stderr, flush=True)
+    try:
+        # host-side input pipeline rate (full preprocessing + collate);
+        # training is input-bound when this is below the train value
+        rec["loader_samples_per_sec_host"] = round(bench_loader(), 2)
+    except Exception as e:
+        print(f"bench: loader bench failed: {e!r}", file=sys.stderr)
+
+    print("bench: latency bench...", file=sys.stderr, flush=True)
+    p50_ms, p99_ms, lat_decomp = bench_latency()
+    rec["p50_latency_ms"] = round(p50_ms, 3)
+    rec["p99_latency_ms"] = round(p99_ms, 3)
+    rec["latency_target_ms"] = 10.0
+    rec.update(lat_decomp)
+
+    if not fast and os.environ.get("BENCH_SERVING", "1") == "1":
+        print("bench: serving-throughput bench...", file=sys.stderr,
+              flush=True)
+        try:
+            rec["serving"] = bench_serving()
+        except Exception as e:
+            print(f"bench: serving bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps(rec))
 
 

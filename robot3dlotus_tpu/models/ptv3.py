@@ -203,6 +203,13 @@ class PointTransformerV3TPU(nn.Module):
     # host — so the stage-0 entry sort is skipped. Only honored when order
     # shuffling is inactive (deterministic eval); ignored otherwise.
     assume_sorted: bool = False
+    # per-stage point capacities overriding the halve-per-stage default
+    # (len == len(enc_depths); entry 0 is clamped to the input capacity).
+    # Segments beyond a stage's capacity DROP their geometry (telemetry:
+    # pool_overflow) — size these from scripts/audit_pool_capacity.py,
+    # which measures worst-case unique-parent counts on real/generated
+    # clouds at the release preprocessing.
+    stage_caps: Optional[Tuple[int, ...]] = None
 
     @property
     def _dtype(self):
@@ -211,6 +218,23 @@ class PointTransformerV3TPU(nn.Module):
         return jnp.dtype(self.compute_dtype)
 
     def _stage_caps(self, n0):
+        if self.stage_caps is not None:
+            assert len(self.stage_caps) == len(self.enc_depths), (
+                f"stage_caps {self.stage_caps} must have one entry per "
+                f"stage ({len(self.enc_depths)})")
+            base = [int(c) for c in self.stage_caps]
+            if n0 >= base[0]:
+                return [min(base[0], n0)] + base[1:]
+            # shrunken input capacity (eval point buckets): scale the
+            # audited schedule proportionally, rounded up to a patch
+            # multiple so attention tiling stays clean
+            mp = min(self.enc_patch_size)
+            out = [n0]
+            for c in base[1:]:
+                scaled = -(-c * n0 // base[0])
+                scaled = -(-scaled // mp) * mp
+                out.append(max(min(scaled, c), min(mp, n0)))
+            return out
         caps = [n0]
         for s in range(1, len(self.enc_depths)):
             caps.append(max(caps[-1] // 2, min(self.enc_patch_size)))

@@ -154,7 +154,7 @@ _PTV3_FIELDS = {
     "add_coords_in_attn", "serial_depth",
     "stem_kernel", "compute_dtype", "attn_impl", "conv_impl", "conv_halo",
     "lookup_extent",
-    "remat", "assume_sorted",
+    "remat", "assume_sorted", "stage_caps",
 }
 
 # reference ptv3 kwargs that are consumed elsewhere or are no-ops under this

@@ -106,3 +106,46 @@ def test_policy_survives_pool_overflow():
     for k in ("pos", "rot", "open"):
         assert np.isfinite(np.asarray(preds[k])).all(), k
     assert np.isfinite(float(losses["total"]))
+
+
+def test_stage_caps_override_removes_overflow():
+    """The per-stage capacity knob (ptv3_config stage_caps, sized by
+    scripts/audit_pool_capacity.py) must eliminate the drop the //2 default
+    suffers on worst-case clouds: same diagonal cloud as above, full
+    capacity at every stage -> pool_overflow == 0 and finite outputs."""
+    batch = fake_batch(B=2, N=256)
+    pc = np.array(batch["pc_fts"])
+    n = pc.shape[1]
+    diag = (np.arange(n)[:, None] * np.array([2, 2, 2])[None]) * 0.01
+    pc[:, :, :3] = diag[None]
+    batch["pc_fts"] = jnp.asarray(pc)
+
+    n_stages = len(PTV3_CFG["enc_depths"])
+    preds, losses = _run_policy(batch, dict(
+        lookup_extent=0, serial_depth=10,
+        stage_caps=tuple([n] * n_stages)))
+    assert int(preds["pool_overflow"]) == 0
+    for k in ("pos", "rot", "open"):
+        assert np.isfinite(np.asarray(preds[k])).all(), k
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_stage_caps_scaling_for_point_buckets():
+    """Explicit caps are audited at the release num_points; smaller input
+    capacities (eval point buckets) scale the schedule proportionally in
+    patch-size multiples instead of flat-lining at n0."""
+    from robot3dlotus_tpu.models.ptv3 import PointTransformerV3TPU
+    m = PointTransformerV3TPU(
+        enc_depths=(1, 1, 1, 1, 1), enc_channels=(8, 8, 8, 8, 8),
+        enc_num_head=(1, 1, 1, 1, 1),
+        enc_patch_size=(128, 128, 128, 128, 128),
+        dec_depths=(1, 1, 1, 1), dec_channels=(8, 8, 8, 8),
+        dec_num_head=(1, 1, 1, 1), dec_patch_size=(128, 128, 128, 128),
+        stage_caps=(4096, 2304, 1024, 512, 256))
+    assert m._stage_caps(4096) == [4096, 2304, 1024, 512, 256]
+    assert m._stage_caps(8192) == [4096, 2304, 1024, 512, 256]
+    caps_1k = m._stage_caps(1024)
+    assert caps_1k[0] == 1024
+    assert caps_1k[1] < 2304 and caps_1k[1] >= 2304 * 1024 // 4096
+    assert all(c % 128 == 0 for c in caps_1k)
+    assert all(a >= b for a, b in zip(caps_1k, caps_1k[1:]))
