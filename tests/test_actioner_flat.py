@@ -6,6 +6,7 @@ change. Packs random observations both ways and compares decoded actions.
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from robot3dlotus_tpu.configs.node import ConfigNode
@@ -13,6 +14,8 @@ from robot3dlotus_tpu.eval.actioner import Actioner
 from robot3dlotus_tpu.train.datasets.collate import TXT_BUCKETS, _bucket
 
 from test_training_driver import TINY_PTV3
+
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
 
 
 TINY_ACT = {

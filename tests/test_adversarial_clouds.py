@@ -11,6 +11,7 @@ Covered failure classes:
     finite and pool_overflow > 0 (ops/pooling.py drops overflow segments).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +23,8 @@ from robot3dlotus_tpu.models.simple_policy import (
 )
 
 from test_policy import ACT_CFG, LOSS_CFG, PTV3_CFG, fake_batch
+
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
 
 
 def test_neighbor_map_out_of_extent_falls_back_exactly():

@@ -69,6 +69,7 @@ def test_msgpack_store_roundtrip(tmp_path):
     assert store.taskvars() == ["task+0"]
 
 
+@pytest.mark.slow
 def test_motion_dataset_and_model():
     from robot3dlotus_tpu.models.motion_planner import (
         MotionPlannerTPU, compute_mp_loss, decode_mp_actions,

@@ -18,6 +18,8 @@ from robot3dlotus_tpu.eval.server import consumer_fn
 
 from test_actioner_flat import _actioner
 
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+
 
 def _payload(i, xyz, rgb, step_id=0):
     return {

@@ -15,6 +15,8 @@ from robot3dlotus_tpu.ops.voxel import voxelize_pcd_np, workspace_mask_np
 from robot3dlotus_tpu.utils.robot_box import RobotBox
 from robot3dlotus_tpu.train.datasets.store import SyntheticStore
 
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+
 
 def _raw_obs(points=20000, seed=0):
     store = SyntheticStore(points_per_step=points)

@@ -255,6 +255,8 @@ def test_backbone_forward_parity_cosine_only_decoder():
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+
 
 @pytest.mark.parametrize("only_dec", [False, True])
 def test_backbone_forward_parity_ca(only_dec):

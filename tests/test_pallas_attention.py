@@ -47,6 +47,7 @@ def test_kernel_gradients_flow():
                                    atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_level_pallas_interpret_matches_xla():
     """Full backbone forward with attn_impl='pallas_interpret' must match
     the XLA path (the kernel only swaps the attention inner loop)."""

@@ -5,6 +5,7 @@ ops.sparse_conv.subm_conv_apply, which is itself golden-tested against a
 brute-force stencil (tests/test_structural_ops.py).
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -101,6 +102,7 @@ def test_windowed_gradients_match_xla_autodiff():
             err_msg=f"gradient mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_model_level_windowed_conv_matches_xla():
     """Full backbone forward with conv_impl='pallas_interpret' must match
     conv_impl='xla' (the windowed kernel only swaps the CPE conv engine)."""

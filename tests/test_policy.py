@@ -10,6 +10,8 @@ from robot3dlotus_tpu.models.simple_policy import (
     SimplePolicyTPU, compute_loss, decode_actions,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+
 # 3 stages / k=3 stem: enough to exercise pooling, the U-net decoder, and
 # both conditioning variants while compiling in seconds on this 1-core host
 # (the release-scale structure is covered by test_forward_parity and the

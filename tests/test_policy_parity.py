@@ -16,6 +16,7 @@ simple_policy_ptv3.yaml:122-128) against our AdaptiveNorm.
 import sys
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -29,6 +30,8 @@ from robot3dlotus_tpu.models.simple_policy import (
     SimplePolicyTPU, decode_actions,
 )
 from robot3dlotus_tpu.train.torch_convert import torch_to_flax
+
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
 
 CTX = 20
 TXT_FT = 32

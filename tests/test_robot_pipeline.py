@@ -17,6 +17,8 @@ from robot3dlotus_tpu.eval.robot_pipeline import (
 from robot3dlotus_tpu.eval.server import ReplayEnv, run_eval_server
 from robot3dlotus_tpu.train.datasets.store import SyntheticMotionStore
 
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+
 TINY_MP_MODEL = {
     "model_class": "MotionPlannerPTV3AdaNorm",
     "ptv3_config": {

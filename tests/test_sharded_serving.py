@@ -5,9 +5,12 @@ the same actions as the plain single-device actioner, for both the
 single-obs predict() (B=1, replicated inputs under dp>1) and
 predict_batch (dict-batch inputs committed dp/sp)."""
 import numpy as np
+import pytest
 
 from test_actioner_flat import _actioner
 from test_eval_batching import _payload
+
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
 
 
 def _payloads(n, seed=0):

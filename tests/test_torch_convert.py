@@ -11,6 +11,8 @@ from robot3dlotus_tpu.train.torch_convert import (
 from robot3dlotus_tpu.models.simple_policy import SimplePolicyTPU
 from tests.test_policy import PTV3_CFG, ACT_CFG, fake_batch
 
+pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+
 
 def make_model_cfg(variant="ca"):
     cls = {"ca": "SimplePolicyPTV3CA", "adanorm": "SimplePolicyPTV3AdaNorm"}

@@ -87,6 +87,7 @@ def _read_metrics(output_dir):
         return [json.loads(line) for line in f]
 
 
+@pytest.mark.slow
 def test_simple_policy_driver_with_validation(tmp_path):
     cfg = _make_config(tmp_path, "SimplePolicyPTV3CA", "synthetic")
     state = train_simple_policy.main(cfg)
@@ -107,6 +108,7 @@ def test_simple_policy_driver_with_validation(tmp_path):
     assert "train_state_latest.msgpack" in ckpts
 
 
+@pytest.mark.slow
 def test_motion_planner_driver_with_validation(tmp_path):
     cfg = _make_config(
         tmp_path, "MotionPlannerPTV3AdaNorm", "synthetic_motion",
@@ -128,6 +130,7 @@ def test_motion_planner_driver_with_validation(tmp_path):
     assert "model_step_3.msgpack" in ckpts
 
 
+@pytest.mark.slow
 def test_remat_and_profiler(tmp_path):
     """remat=True must produce the same param tree and finite losses; the
     profiler hook must write a trace directory."""
@@ -145,6 +148,7 @@ def test_remat_and_profiler(tmp_path):
     assert os.path.isdir(prof) and os.listdir(prof)
 
 
+@pytest.mark.slow
 def test_warm_start_from_checkpoint(tmp_path):
     """Reference `config.checkpoint` warm start (train_simple_policy.py:
     154-173): shape-filtered partial load of a pretrained model into a
