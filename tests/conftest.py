@@ -43,7 +43,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
-REFERENCE_ROOT = "/root/reference"
+# golden-parity tests compare against the upstream torch checkout here;
+# point GRAFT_REFERENCE_ROOT elsewhere (or at a nonexistent dir to prove
+# the suite passes with no reference present — parity tests skip)
+REFERENCE_ROOT = os.environ.get("GRAFT_REFERENCE_ROOT", "/root/reference")
 
 # Env for subprocess-based multi-device CPU tests (bypasses the axon
 # sitecustomize via a scrubbed PYTHONPATH).

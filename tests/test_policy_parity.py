@@ -15,6 +15,8 @@ simple_policy_ptv3.yaml:122-128) against our AdaptiveNorm.
 """
 import sys
 
+from conftest import add_reference_to_path, reference_available
+
 import numpy as np
 import pytest
 import torch
@@ -31,7 +33,7 @@ from robot3dlotus_tpu.models.simple_policy import (
 )
 from robot3dlotus_tpu.train.torch_convert import torch_to_flax
 
-pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(), reason="golden-parity vs the upstream checkout; no reference present")]  # compile-heavy golden-parity tier
 
 CTX = 20
 TXT_FT = 32
@@ -103,8 +105,7 @@ def _ref_config():
 
 def test_policy_action_parity_adanorm():
     shims.install()
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    add_reference_to_path()
     from genrobo3d.models import simple_policy_ptv3 as ref_sp
 
     torch.manual_seed(3)
@@ -199,8 +200,7 @@ def test_motion_planner_action_parity_ca():
     txt_attn_fc in the CA class], use_ee_pose False): per-trajectory-step
     disc-position decode + euler-disc quats + stop bits."""
     shims.install()
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    add_reference_to_path()
     from genrobo3d.models import motion_planner_ptv3 as ref_mp
     from robot3dlotus_tpu.models.motion_planner import (
         MotionPlannerTPU, decode_mp_actions,

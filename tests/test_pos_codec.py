@@ -13,10 +13,11 @@ pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference repo not mounted"
 )
 
-add_reference_to_path()
-from genrobo3d.utils.action_position_utils import (  # noqa: E402
-    get_disc_gt_pos_prob, get_best_pos_from_disc_pos,
-)
+if reference_available():
+    add_reference_to_path()
+    from genrobo3d.utils.action_position_utils import (  # noqa: E402
+        get_disc_gt_pos_prob, get_best_pos_from_disc_pos,
+    )
 
 
 def make_cloud(n=200, seed=0):

@@ -17,6 +17,8 @@ cover the shipped TPU program.
 """
 import sys
 
+from conftest import add_reference_to_path, reference_available
+
 import numpy as np
 import pytest
 import torch
@@ -32,6 +34,8 @@ from robot3dlotus_tpu.models.simple_policy import (
     SimplePolicyTPU, decode_actions,
 )
 from robot3dlotus_tpu.train.torch_convert import torch_to_flax
+
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(), reason="golden-parity vs the upstream checkout; no reference present")]
 
 CTX = 256
 TXT_FT = 512
@@ -109,8 +113,7 @@ def _ref_config():
 @pytest.mark.slow
 def test_release_scale_action_parity_ca():
     shims.install()
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    add_reference_to_path()
     from genrobo3d.models import simple_policy_ptv3 as ref_sp
 
     torch.manual_seed(7)

@@ -9,9 +9,10 @@ from robot3dlotus_tpu.train.torch_convert import (
     build_name_map, flatten_tree, torch_to_flax, flax_to_torch,
 )
 from robot3dlotus_tpu.models.simple_policy import SimplePolicyTPU
+from tests.conftest import reference_available
 from tests.test_policy import PTV3_CFG, ACT_CFG, fake_batch
 
-pytestmark = pytest.mark.slow  # compile-heavy: builds/applies policy-scale models
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(), reason="golden-parity vs the upstream checkout; no reference present")]  # compile-heavy golden-parity tier
 
 
 def make_model_cfg(variant="ca"):
