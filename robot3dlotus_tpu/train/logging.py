@@ -9,20 +9,32 @@ import time
 
 
 def build_logger(output_dir=None, name="robot3dlotus_tpu"):
+    """Idempotent per output_dir: a second run in the same process (several
+    trainings sequentially, notebooks, test suites) re-points the file
+    handler at ITS run directory instead of silently appending to the
+    first run's log.txt."""
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
     logger.setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s %(levelname)s: %(message)s",
                             datefmt="%m/%d %H:%M:%S")
-    sh = logging.StreamHandler()
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not any(type(h) is logging.StreamHandler for h in logger.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if output_dir:
-        os.makedirs(os.path.join(output_dir, "logs"), exist_ok=True)
-        fh = logging.FileHandler(os.path.join(output_dir, "logs", "log.txt"))
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        target = os.path.abspath(
+            os.path.join(output_dir, "logs", "log.txt"))
+        file_handlers = [h for h in logger.handlers
+                         if isinstance(h, logging.FileHandler)]
+        if not any(os.path.abspath(h.baseFilename) == target
+                   for h in file_handlers):
+            for h in file_handlers:  # the new run owns the file log
+                logger.removeHandler(h)
+                h.close()
+            os.makedirs(os.path.join(output_dir, "logs"), exist_ok=True)
+            fh = logging.FileHandler(target)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
