@@ -500,6 +500,27 @@ def bench_train(bench_model, B, N, steps, dtype, impl):
     train_cfg = dict(learning_rate=1e-4, lr_sched="cosine", warmup_steps=2000,
                      num_train_steps=150000, weight_decay=0.05, grad_norm=10,
                      optim="adamw", betas=[0.9, 0.98])
+    # BENCH_STRUCT=1 (default, matching the training driver): the loader
+    # thread presorts the batch and ships order_perm + the stem neighbor
+    # map (train/datasets/structure.py) so the device never builds the k=5
+    # stem stencil table (~230 ms/step of scalar-unit lookups at release
+    # shape). The one-time host cost is reported as struct_host_ms — in the
+    # real pipeline PrefetchToDevice overlaps it with compute (the combined
+    # host rate is what bench_loader measures).
+    struct_host_ms = None
+    if os.environ.get("BENCH_STRUCT", "1") == "1":
+        from robot3dlotus_tpu.train.datasets.structure import (
+            attach_host_structure, structure_cfg_from_model)
+        scfg = structure_cfg_from_model(
+            {"ptv3_config": dict(RELEASE_PTV3), "action_config": dict(act)})
+        bnp = {k: np.array(v) for k, v in batch.items()}
+        t0 = time.perf_counter()
+        bnp = attach_host_structure(bnp, scfg, np.random.RandomState(0))
+        struct_host_ms = round((time.perf_counter() - t0) * 1000, 1)
+        import jax.numpy as _jnp
+        batch = {k: _jnp.asarray(v) for k, v in bnp.items()}
+        print(f"bench: host structure {struct_host_ms} ms/batch",
+              file=sys.stderr, flush=True)
     rng = jax.random.PRNGKey(0)
     print("bench: init...", file=sys.stderr, flush=True)
     state, _ = create_train_state(model, batch, train_cfg, rng)
@@ -560,6 +581,8 @@ def bench_train(bench_model, B, N, steps, dtype, impl):
         "unit": "samples/s/chip",
         "vs_baseline": round(sps_per_chip / BASELINE_SAMPLES_PER_SEC, 3),
     }
+    if struct_host_ms is not None:
+        rec["struct_host_ms"] = struct_host_ms
     kind = jax.devices()[0].device_kind
     if step_flops:
         steps_per_sec = sps_per_chip / B

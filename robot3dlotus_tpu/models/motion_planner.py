@@ -228,7 +228,9 @@ class MotionPlannerTPU(nn.Module):
             batch["pc_fts"][..., :3], batch["pc_fts"], batch["pc_mask"],
             batch["pc_counts"], context=context, context_mask=context_mask,
             context_vec=context_vec, deterministic=deterministic,
-            stem_categorical=stem_categorical)
+            stem_categorical=stem_categorical,
+            order_perm=batch.get("order_perm"),
+            stem_nmap=batch.get("stem_nmap"))
 
         final = outs[-1]
         head = TrajActionHead(

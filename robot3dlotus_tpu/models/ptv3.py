@@ -320,14 +320,26 @@ class PointTransformerV3TPU(nn.Module):
     @nn.compact
     def __call__(self, coord, feat, mask, counts, context=None,
                  context_mask=None, context_vec=None, deterministic=True,
-                 return_dec_layers=True, stem_categorical=None):
+                 return_dec_layers=True, stem_categorical=None,
+                 order_perm=None, stem_nmap=None):
         """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
         counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
         context_vec: (B, ctx) vector for adaptive norms;
         stem_categorical: optional (idx (B, N) int32, table (Kcat, E))
         categorical channels logically appended to feat for the stem conv
         only (the motion planner's semantic labels) — gathered as one raw
-        index channel instead of E embedding channels (layers.SubMConv)."""
+        index channel instead of E embedding channels (layers.SubMConv).
+
+        Host-precomputed structure (train/datasets/structure.py — integer
+        index work is weight-independent, so the input pipeline does it and
+        prefetch hides it):
+          order_perm: (num_orders,) int — the order shuffle the HOST chose;
+            inputs must already be sorted by orders[order_perm[0]]'s SFC
+            code (valid prefix). Replaces the in-model shuffle rng AND the
+            stage-0 entry sort.
+          stem_nmap: (B, N, stem_kernel^3) int — stem stencil neighbors in
+            the presorted frame, -1 = missing (build_neighbor_map_np);
+            replaces the on-device stem map construction."""
         num_stages = len(self.enc_depths)
         B, N0, _ = feat.shape
         caps = self._stage_caps(N0)
@@ -350,13 +362,16 @@ class PointTransformerV3TPU(nn.Module):
         # the reference shuffles orders via torch.randperm in eval mode too
         # (model.py:130-134) — that randomness is what ensemble inference
         # averages over; here shuffling happens whenever a 'shuffle' rng is
-        # supplied (training always supplies one)
-        shuffle = self.shuffle_orders and (
+        # supplied (training always supplies one), UNLESS the host already
+        # chose the shuffle (order_perm input) and presorted the batch
+        shuffle = self.shuffle_orders and order_perm is None and (
             not deterministic or self.has_rng("shuffle"))
         if shuffle:
             perm = jax.random.permutation(self.make_rng("shuffle"),
                                           len(self.orders))
             codes = codes[perm]
+        elif order_perm is not None:
+            codes = jnp.take(codes, order_perm, axis=0)
 
         # pdnorm_only_decoder means two DIFFERENT things in the reference:
         #  * plain/AdaNorm backbone (model.py:954,975,996): stem + encoder
@@ -374,7 +389,7 @@ class PointTransformerV3TPU(nn.Module):
             "mask": mask, "counts": counts, "codes": codes, "depth": depth0,
             "cap": N0,
         }
-        skip0 = self.assume_sorted and not shuffle
+        skip0 = (self.assume_sorted or order_perm is not None) and not shuffle
         cur, sort0 = self._entry_sort(cur, skip_sort=skip0)
         if stem_categorical is not None and sort0 is not None:
             stem_categorical = (_take_rows(stem_categorical[0], sort0),
@@ -385,12 +400,20 @@ class PointTransformerV3TPU(nn.Module):
 
         # stem: SubMConv k=5 + BN + GELU (reference model.py:831-861)
         dt = self._dtype
-        stem_nmap = build_neighbor_map(cur["grid_coord"], cur["mask"],
-                                       self.stem_kernel, depth0,
-                                       extent=self.lookup_extent)
+        if stem_nmap is not None:
+            # host-precomputed map, valid only in the presorted frame
+            assert skip0, "stem_nmap requires host-presorted inputs"
+            from ..ops.sparse_conv import NeighborMap
+            stem_map = NeighborMap(
+                idx=jnp.maximum(stem_nmap, 0).astype(jnp.int32),
+                ok=stem_nmap >= 0)
+        else:
+            stem_map = build_neighbor_map(cur["grid_coord"], cur["mask"],
+                                          self.stem_kernel, depth0,
+                                          extent=self.lookup_extent)
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv", dtype=dt)(
-            cur["feat"], stem_nmap, categorical=stem_categorical)
+            cur["feat"], stem_map, categorical=stem_categorical)
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
                          adaptive=enc_adaptive, name="embedding_norm",
                          dtype=dt)(

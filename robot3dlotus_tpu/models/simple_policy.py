@@ -119,7 +119,9 @@ class SimplePolicyTPU(nn.Module):
             batch["pc_fts"][..., :3], pc_fts, batch["pc_mask"],
             batch["pc_counts"], context=context, context_mask=context_mask,
             context_vec=None if self.variant == "ca" else context_vec,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            order_perm=batch.get("order_perm"),
+            stem_nmap=batch.get("stem_nmap"))
 
         final = outs[-1]
         head = ActionHead(

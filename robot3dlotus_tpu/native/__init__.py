@@ -88,6 +88,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_ubyte)]
+        lib.neighbor_map_dense.restype = ctypes.c_long
+        lib.neighbor_map_dense.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_int16)]
         _LIB = lib
     except Exception:
         LOGGER.warning("native voxelizer unavailable; using numpy fallback",
@@ -119,6 +124,31 @@ def voxelize_trace_native(xyz, voxel_size):
     if m < 0:  # grid exceeded 21 bits/axis — caller falls back
         return None
     return means[:m].copy(), first[:m].copy()
+
+
+def neighbor_map_dense_native(grid, counts, offs, extent):
+    """C++ stencil neighbor map (train/datasets/structure.py host path).
+    grid (B, N, 3) int32 in [0, extent); counts (B,) int32; offs (K, 3)
+    int32. Returns (B, N, K) int16 with -1 = missing, or None when the
+    native library is unavailable or the inputs exceed its contract
+    (caller falls back to ops.sparse_conv.build_neighbor_map_np)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    grid = np.ascontiguousarray(grid, np.int32)
+    counts = np.ascontiguousarray(counts, np.int32)
+    offs = np.ascontiguousarray(offs, np.int32)
+    B, N, _ = grid.shape
+    K = offs.shape[0]
+    out = np.empty((B, N, K), np.int16)
+    iptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    rc = lib.neighbor_map_dense(
+        iptr(grid, ctypes.c_int32), iptr(counts, ctypes.c_int32),
+        B, N, iptr(offs, ctypes.c_int32), K, int(extent),
+        iptr(out, ctypes.c_int16))
+    if rc < 0:
+        return None
+    return out
 
 
 def crop_voxelize_trace_native(xyz, voxel_size, workspace, rm_table=True):

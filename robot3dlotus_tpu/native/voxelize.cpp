@@ -209,9 +209,82 @@ long voxelize_core(const float* xyz, long n, float voxel_size,
     return m;
 }
 
+// ---- stencil neighbor map (train/datasets/structure.py host path) ----
+// Dense occupancy table per cloud, epoch-stamped so repeat calls never
+// re-memset the E^3 lane. Semantics are exactly those of the numpy twin
+// build_neighbor_map_np (ops/sparse_conv.py): lowest original index wins
+// duplicate coordinates (ascending insert, first write sticks), out-of-
+// extent queries and empty cells yield -1.
+struct NmapScratch {
+    std::vector<int32_t> stamp;
+    std::vector<int32_t> idx;
+    int32_t epoch = 0;
+};
+thread_local NmapScratch g_nmap;
+
 }  // namespace
 
 extern "C" {
+
+// grid: (B, N, 3) int32 in [0, extent); counts: (B,) int32; offs: (K, 3)
+// int32 stencil offsets; out: (B, N, K) int16, -1 = missing (rows >= count
+// are all -1). Returns 0, or -1 when extent^3 exceeds the scratch budget
+// or N does not fit int16 (caller falls back to numpy).
+long neighbor_map_dense(const int32_t* grid, const int32_t* counts,
+                        long B, long N, const int32_t* offs, long K,
+                        long extent, int16_t* out) {
+    const int64_t cells = extent * extent * extent;
+    if (extent <= 0 || cells > kDenseMaxCells ||
+        N > std::numeric_limits<int16_t>::max())
+        return -1;
+    NmapScratch& ns = g_nmap;
+    if (ns.stamp.size() < static_cast<size_t>(cells)) {
+        ns.stamp.assign(static_cast<size_t>(cells), -1);
+        ns.idx.resize(static_cast<size_t>(cells));
+        ns.epoch = 0;
+    }
+    const int64_t E = extent, E2 = extent * extent;
+    for (long b = 0; b < B; ++b) {
+        if (ns.epoch == std::numeric_limits<int32_t>::max()) {
+            std::fill(ns.stamp.begin(), ns.stamp.end(), -1);
+            ns.epoch = 0;
+        }
+        const int32_t ep = ++ns.epoch;
+        const int32_t* gc = grid + b * N * 3;
+        const long n = counts[b];
+        int16_t* o = out + b * N * K;
+        if (n < 0 || n > N) return -1;
+        for (long i = 0; i < n; ++i) {
+            const int32_t x = gc[3 * i], y = gc[3 * i + 1], z = gc[3 * i + 2];
+            if (x < 0 || x >= E || y < 0 || y >= E || z < 0 || z >= E)
+                return -1;  // contract: callers clip into the extent
+            const int64_t c = x * E2 + y * E + z;
+            if (ns.stamp[c] != ep) {  // first (lowest) index wins
+                ns.stamp[c] = ep;
+                ns.idx[c] = static_cast<int32_t>(i);
+            }
+        }
+        for (long i = 0; i < n; ++i) {
+            const int64_t x = gc[3 * i], y = gc[3 * i + 1], z = gc[3 * i + 2];
+            int16_t* row = o + i * K;
+            for (long k = 0; k < K; ++k) {
+                const int64_t qx = x + offs[3 * k],
+                              qy = y + offs[3 * k + 1],
+                              qz = z + offs[3 * k + 2];
+                if (qx < 0 || qx >= E || qy < 0 || qy >= E ||
+                    qz < 0 || qz >= E) {
+                    row[k] = -1;
+                    continue;
+                }
+                const int64_t c = qx * E2 + qy * E + qz;
+                row[k] = (ns.stamp[c] == ep)
+                             ? static_cast<int16_t>(ns.idx[c]) : int16_t(-1);
+            }
+        }
+        std::memset(o + n * K, 0xff, sizeof(int16_t) * (N - n) * K);
+    }
+    return 0;
+}
 
 // xyz: (n, 3) float32. Outputs: means (M, 3) float32, first (M,) int64.
 // Caller allocates means/first with capacity n. Returns M (voxel count),

@@ -298,3 +298,57 @@ def _gather_neighbors(feat, idx):
     g = jnp.take_along_axis(
         feat, jnp.broadcast_to(flat[..., None], (B, N * K, C)), axis=1)
     return g.reshape(B, N, K, C)
+
+
+def build_neighbor_map_np(grid_coord, counts, kernel_size: int,
+                          depth: int, extent: int | None = None):
+    """Host twin of build_neighbor_map for the input pipeline: the stencil
+    neighbor map is weight-independent integer work, and on TPU its random
+    table lookups run on the scalar unit (~230 ms/step for the k=5 stem at
+    the release shape — half the train step), so the loader precomputes it
+    and ships one int16 tensor per stencil (idx, -1 = missing) that
+    prefetch overlaps with compute.
+
+    grid_coord: (B, N, 3) int >= 0 (padding rows arbitrary); counts: (B,).
+    Returns (B, N, K) int32 with -1 where there is no neighbor (semantics
+    identical to the device builder incl. lowest-index duplicate winner).
+    """
+    import numpy as np
+    B, N, _ = grid_coord.shape
+    offs = stencil_offsets(kernel_size)
+    K = offs.shape[0]
+    p = np.arange(N)
+    out = np.full((B, N, K), -1, np.int32)
+    use_dense = extent is not None and extent > 0
+    for b in range(B):
+        n = int(counts[b])
+        gc = grid_coord[b, :n].astype(np.int64)
+        if use_dense and (n == 0 or gc.max(initial=0) < extent):
+            E = extent
+            table = np.full(E * E * E + 1, n, np.int32)
+            lin = gc[:, 0] * (E * E) + gc[:, 1] * E + gc[:, 2]
+            # lowest original index wins for duplicate coords
+            np.minimum.at(table, lin, p[:n])
+            q = gc[:, None, :] + offs[None]                 # (n, K, 3)
+            q_ok = np.all((q >= 0) & (q < E), axis=-1)
+            lin_q = q[..., 0] * (E * E) + q[..., 1] * E + q[..., 2]
+            nbr = table[np.where(q_ok, lin_q, E * E * E)]
+            out[b, :n] = np.where(q_ok & (nbr < n), nbr, -1)
+        else:
+            from .serialization import z_order_encode_np
+            hi = (1 << depth) - 1
+            codes = z_order_encode_np(np.clip(gc, 0, hi).astype(np.int32),
+                                      depth)
+            order = np.argsort(codes, kind="stable")
+            cs = codes[order]
+            q = gc[:, None, :] + offs[None]
+            q_ok = np.all((q >= 0) & (q <= hi), axis=-1)
+            qc = z_order_encode_np(
+                np.clip(q, 0, hi).astype(np.int32), depth)
+            pos = np.searchsorted(cs, qc.reshape(-1)).clip(0, max(n - 1, 0))
+            found = (cs[pos] == qc.reshape(-1)) if n else \
+                np.zeros(pos.shape, bool)
+            nbr = order[pos]
+            ok = found.reshape(n, K) & q_ok
+            out[b, :n] = np.where(ok, nbr.reshape(n, K), -1)
+    return out

@@ -46,6 +46,8 @@ def batch_leaf_sharding(mesh: Mesh, key: str, leaf) -> NamedSharding:
     pc_labels, pc_robot_mask — (B, N, ...) with the cloud on axis 1) also
     shard axis 1 over 'sp'; everything else shards the batch axis only."""
     ndim = getattr(leaf, "ndim", 0)
+    if key == "order_perm":  # (num_orders,) — batch-wide, not per-cloud
+        return NamedSharding(mesh, P())
     sp = mesh.shape.get("sp", 1)
     if (sp > 1 and ndim >= 2 and key.startswith("pc_")
             and leaf.shape[1] % sp == 0):

@@ -118,10 +118,28 @@ def run_training(config, spec: TaskSpec):
     logger.info(f"#train episodes: {len(dataset)}")
 
     num_clouds = int(config.TRAIN.train_batch_size)
+    collate_fn = spec.make_collate(tds_cfg, num_clouds)
+    # host-precomputed structure (datasets/structure.py): the order shuffle,
+    # SFC presort, and stem neighbor map are weight-independent integer work
+    # — build them on the loader thread (overlapped with device compute by
+    # PrefetchToDevice) instead of the device's scalar unit. Disabled under
+    # sequence parallelism: stem_nmap indexes the full local point axis,
+    # which an sp-sharded layout splits.
+    if bool(config.TRAIN.get("host_structure", True)) and \
+            (mesh is None or mesh.shape.get("sp", 1) == 1):
+        from .datasets.structure import (
+            attach_host_structure, structure_cfg_from_model)
+        scfg = structure_cfg_from_model(config.MODEL)
+        struct_rng = np.random.RandomState(seed + 131071)
+        base_collate = collate_fn
+        collate_fn = lambda chunk: attach_host_structure(
+            base_collate(chunk), scfg, struct_rng)
+        logger.info("host structure: presort + stem map on the loader "
+                    f"thread (orders={scfg['orders']})")
     loader = KeystepBatchLoader(
         dataset, num_clouds=num_clouds,
         num_points=int(tds_cfg.get("num_points", 4096)),
-        collate_fn=spec.make_collate(tds_cfg, num_clouds), seed=seed,
+        collate_fn=collate_fn, seed=seed,
         # process-invariant: every host must shuffle identically or the
         # ids[rank::world] shards overlap (loader.py _epoch_ids)
         shuffle_seed=base_seed,

@@ -338,3 +338,62 @@ def test_native_voxelizer_nonfinite_points():
     assert out is not None
     _, _, keep = out
     assert not keep[17]
+
+
+def test_host_neighbor_map_matches_device():
+    """The loader's host twin (build_neighbor_map_np, -1 = missing) must
+    reproduce the device builder on both its paths (dense table and
+    z-order searchsorted), including duplicate-coordinate winners."""
+    import jax.numpy as jnp
+    from robot3dlotus_tpu.ops.sparse_conv import (
+        build_neighbor_map, build_neighbor_map_np)
+    rng = np.random.RandomState(3)
+    B, N, depth = 3, 160, 9
+    for kernel, extent in ((3, 64), (5, 64), (3, 0)):
+        gc = rng.randint(0, 24, (B, N, 3)).astype(np.int32)
+        gc[1, 10] = gc[1, 11]  # duplicate coordinate: lowest index wins
+        counts = np.array([N, N - 37, 5], np.int32)
+        mask = np.arange(N)[None] < counts[:, None]
+        dev = build_neighbor_map(jnp.asarray(gc), jnp.asarray(mask),
+                                 kernel, depth,
+                                 extent=extent if extent else None)
+        host = build_neighbor_map_np(gc, counts, kernel, depth,
+                                     extent=extent if extent else None)
+        ok_h = host >= 0
+        np.testing.assert_array_equal(ok_h, np.asarray(dev.ok),
+                                      err_msg=f"k={kernel} extent={extent}")
+        np.testing.assert_array_equal(np.where(ok_h, host, 0),
+                                      np.asarray(dev.idx),
+                                      err_msg=f"k={kernel} extent={extent}")
+
+
+def test_native_neighbor_map_matches_numpy():
+    """The C++ dense-table stencil builder (native/voxelize.cpp
+    neighbor_map_dense) must be bit-identical to build_neighbor_map_np,
+    including duplicate-coordinate winners, short clouds, and the all
+    -1 padding tail; out-of-extent coords must make it bail (None)."""
+    from robot3dlotus_tpu.native import neighbor_map_dense_native
+    from robot3dlotus_tpu.ops.sparse_conv import (
+        build_neighbor_map_np, stencil_offsets)
+    lib_out = neighbor_map_dense_native(
+        np.zeros((1, 4, 3), np.int32), np.array([4], np.int32),
+        stencil_offsets(3), 8)
+    if lib_out is None:
+        import pytest
+        pytest.skip("native library unavailable on this host")
+    rng = np.random.RandomState(11)
+    B, N = 3, 200
+    for kernel, extent in ((3, 32), (5, 64)):
+        gc = rng.randint(0, extent // 2, (B, N, 3)).astype(np.int32)
+        gc[0, 5] = gc[0, 6]  # duplicate coord: lowest index wins
+        counts = np.array([N, N - 61, 0], np.int32)
+        offs = stencil_offsets(kernel)
+        native = neighbor_map_dense_native(gc, counts, offs, extent)
+        host = build_neighbor_map_np(gc, counts, kernel, 8, extent=extent)
+        np.testing.assert_array_equal(
+            native, host.astype(np.int16),
+            err_msg=f"k={kernel} extent={extent}")
+    # out-of-extent coordinate -> native bails, numpy twin handles it
+    gc_bad = gc.copy()
+    gc_bad[1, 0] = extent + 3
+    assert neighbor_map_dense_native(gc_bad, counts, offs, extent) is None
