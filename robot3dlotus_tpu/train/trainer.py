@@ -40,7 +40,11 @@ def shrink_for_init(batch, n=_INIT_SHRINK_N, t=_INIT_SHRINK_T):
     point_keys = ("pc_fts", "pc_mask", "pc_labels")
     txt_keys = ("txt_embeds", "txt_mask")
     out = {}
+    full_n = batch["pc_fts"].shape[1]
     for k, v in batch.items():
+        if k == "order_perm":  # (num_orders,) — no batch axis to slice
+            out[k] = v
+            continue
         v1 = v[:1]
         if k in point_keys and v1.ndim >= 2:
             v1 = v1[:, :n]
@@ -48,6 +52,17 @@ def shrink_for_init(batch, n=_INIT_SHRINK_N, t=_INIT_SHRINK_T):
             v1 = v1[:, :t]
         elif k == "pc_counts":
             v1 = jnp.minimum(v1, n)
+        elif k == "stem_nmap":
+            # host structure (datasets/structure.py): shrink the point axis
+            # and clamp neighbor indices into the shrunk row range — init
+            # numerics are irrelevant, only shape consistency matters
+            v1 = jnp.minimum(v1[:, :n], n - 1)
+        elif k == "disc_pos_probs" and v1.ndim >= 2 and full_n and \
+                v1.shape[-1] % full_n == 0:
+            # (1, [L,] 3, N*nb) -> keep the first n points' candidates
+            nb = v1.shape[-1] // full_n
+            v1 = v1.reshape(v1.shape[:-1] + (full_n, nb))[..., :n, :]
+            v1 = v1.reshape(v1.shape[:-2] + (n * nb,))
         out[k] = v1
     return out
 
