@@ -415,9 +415,26 @@ def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
                            points_per_step=60000)
     ds = KeystepDataset(store, num_points=num_points, augment_pc=True,
                         pos_type="disc", pos_bins=15)
+    collate_fn = None
+    if os.environ.get("BENCH_STRUCT", "1") == "1":
+        # the training driver attaches host structure on this same thread —
+        # the recorded host rate must include that cost to be honest
+        from __graft_entry__ import RELEASE_PTV3, RELEASE_ACT
+        from robot3dlotus_tpu.train.datasets.collate import (
+            collate_keystep_samples)
+        from robot3dlotus_tpu.train.datasets.structure import (
+            attach_host_structure, structure_cfg_from_model)
+        scfg = structure_cfg_from_model(
+            {"ptv3_config": dict(RELEASE_PTV3),
+             "action_config": dict(RELEASE_ACT)})
+        srng = np.random.RandomState(0)
+        collate_fn = lambda chunk: attach_host_structure(
+            collate_keystep_samples(chunk, num_points,
+                                    num_clouds=batch_clouds), scfg, srng)
     loader = KeystepBatchLoader(
         ds, num_clouds=batch_clouds, num_points=num_points,
         num_workers=int(os.environ.get("BENCH_LOADER_WORKERS", "4")),
+        collate_fn=collate_fn,
         process_index=0, process_count=1)
     it = iter(loader)
     next(it)  # warm caches / pool

@@ -28,7 +28,7 @@ from ..ops.pos_codec import best_pos_from_disc_logits
 from .layers import dense
 from .heads import leaky_relu02
 from .simple_policy import RobotPoseEmbedding, ptv3_kwargs
-from .ptv3 import PointTransformerV3TPU
+from .ptv3 import PointTransformerV3TPU, host_structure_kwargs
 
 
 class _SplitDense(nn.Module):
@@ -229,8 +229,7 @@ class MotionPlannerTPU(nn.Module):
             batch["pc_counts"], context=context, context_mask=context_mask,
             context_vec=context_vec, deterministic=deterministic,
             stem_categorical=stem_categorical,
-            order_perm=batch.get("order_perm"),
-            stem_nmap=batch.get("stem_nmap"))
+            **host_structure_kwargs(batch))
 
         final = outs[-1]
         head = TrajActionHead(

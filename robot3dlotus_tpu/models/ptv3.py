@@ -53,6 +53,19 @@ from .layers import (
 )
 
 
+def host_structure_kwargs(batch):
+    """Collect the loader-shipped structure keys (train/datasets/
+    structure.py) into PointTransformerV3TPU call kwargs: order_perm,
+    stem_nmap, and the per-stage cpe_nmap{s} cascade."""
+    maps, s = [], 0
+    while f"cpe_nmap{s}" in batch:
+        maps.append(batch[f"cpe_nmap{s}"])
+        s += 1
+    return {"order_perm": batch.get("order_perm"),
+            "stem_nmap": batch.get("stem_nmap"),
+            "cpe_nmaps": tuple(maps) if maps else None}
+
+
 def _take_rows(x, order):
     """x: (B, N) or (B, N, D) -> rows rearranged by order (B, M)."""
     if x.ndim == 2:
@@ -261,11 +274,16 @@ class PointTransformerV3TPU(nn.Module):
         used.add(0)
         return sorted(used)
 
-    def _make_aux(self, cur, s, patch):
+    def _make_aux(self, cur, s, patch, host_nmap=None):
         """Per-stage attention/conv structures, built in the stage's sorted
         frame (frame position == rank in codes[0]). order/inverse entries
         are None for index 0 (the frame itself — no permute) and real
-        argsorts only for the extra orders deeper configs attend in."""
+        argsorts only for the extra orders deeper configs attend in.
+
+        host_nmap: optional (B, cap, 27) int, -1 = missing — the stage's
+        CPE stencil map precomputed by the input pipeline in THIS frame
+        (train/datasets/structure.py replays the pooling cascade on the
+        host), replacing the on-device occupancy-table build."""
         codes, counts, cap = cur["codes"], cur["counts"], cur["cap"]
         order = [None] * len(self.orders)
         inverse = [None] * len(self.orders)
@@ -275,7 +293,19 @@ class PointTransformerV3TPU(nn.Module):
             order[i], inverse[i] = argsort_with_inverse(codes[i])
         src_pos, key_valid = build_pad_maps(counts, cap, min(patch, cap))
         windowed, _ = self._conv_windowed()
-        if windowed:
+        if host_nmap is not None:
+            assert host_nmap.shape[1] == cap, (
+                f"stage {s}: host cpe map cap {host_nmap.shape[1]} != "
+                f"model cap {cap} — host/model stage_caps must agree")
+            from ..ops.sparse_conv import NeighborMap
+            nm = NeighborMap(idx=jnp.maximum(host_nmap, 0).astype(jnp.int32),
+                             ok=host_nmap >= 0)
+            if windowed:
+                from ..ops.pallas_conv import window_map_from_nmap
+                cpe_nmap = window_map_from_nmap(nm, halo=self.conv_halo)
+            else:
+                cpe_nmap = nm
+        elif windowed:
             from ..ops.pallas_conv import build_window_map
             # the stage frame IS a locality-preserving serialized order, so
             # the window map needs no sort of its own (presorted)
@@ -321,7 +351,7 @@ class PointTransformerV3TPU(nn.Module):
     def __call__(self, coord, feat, mask, counts, context=None,
                  context_mask=None, context_vec=None, deterministic=True,
                  return_dec_layers=True, stem_categorical=None,
-                 order_perm=None, stem_nmap=None):
+                 order_perm=None, stem_nmap=None, cpe_nmaps=None):
         """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
         counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
         context_vec: (B, ctx) vector for adaptive norms;
@@ -339,7 +369,11 @@ class PointTransformerV3TPU(nn.Module):
             stage-0 entry sort.
           stem_nmap: (B, N, stem_kernel^3) int — stem stencil neighbors in
             the presorted frame, -1 = missing (build_neighbor_map_np);
-            replaces the on-device stem map construction."""
+            replaces the on-device stem map construction.
+          cpe_nmaps: optional per-stage tuple of (B, cap_s, 27) int CPE
+            stencil maps (or None entries) — the host replays the pooling
+            cascade, so these are valid iff order_perm was supplied (the
+            frames match only in the host-presorted, unshuffled program)."""
         num_stages = len(self.enc_depths)
         B, N0, _ = feat.shape
         caps = self._stage_caps(N0)
@@ -443,7 +477,14 @@ class PointTransformerV3TPU(nn.Module):
                     shuffle=shuffle)
                 pool_overflow = pool_overflow + overflow
                 pool_records.append(record)
-            aux = self._make_aux(cur, s, self.enc_patch_size[s])
+            # host maps are valid only when the batch frame IS the host-
+            # presorted frame: order_perm supplied (training) or an
+            # assume_sorted model (the eval actioner presorts on host)
+            host_nmap = None
+            if cpe_nmaps is not None and s < len(cpe_nmaps) and skip0:
+                host_nmap = cpe_nmaps[s]
+            aux = self._make_aux(cur, s, self.enc_patch_size[s],
+                                 host_nmap=host_nmap)
             cur["aux"] = aux
             if hasattr(aux["cpe_nmap"], "far_dropped"):
                 conv_far_dropped = conv_far_dropped + jnp.sum(

@@ -31,7 +31,7 @@ from ..ops import rotation as rotops
 from ..ops.pos_codec import best_pos_from_disc_logits, disc_pos_gt_prob_jnp
 from .layers import dense, LayerNorm
 from .heads import ActionHead
-from .ptv3 import PointTransformerV3TPU
+from .ptv3 import PointTransformerV3TPU, host_structure_kwargs
 
 
 class RobotPoseEmbedding(nn.Module):
@@ -120,8 +120,7 @@ class SimplePolicyTPU(nn.Module):
             batch["pc_counts"], context=context, context_mask=context_mask,
             context_vec=None if self.variant == "ca" else context_vec,
             deterministic=deterministic,
-            order_perm=batch.get("order_perm"),
-            stem_nmap=batch.get("stem_nmap"))
+            **host_structure_kwargs(batch))
 
         final = outs[-1]
         head = ActionHead(

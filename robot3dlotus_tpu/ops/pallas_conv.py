@@ -106,6 +106,10 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
     B, N, _ = grid_coord.shape
     nmap = build_neighbor_map(grid_coord, mask, kernel_size, depth,
                               extent=extent)
+    if presorted:
+        # the frame is already serialized: neighbor indices ARE sorted slots
+        return window_map_from_nmap(nmap, halo=halo,
+                                    far_capacity=far_capacity, tile=tile)
     K = nmap.idx.shape[-1]
     P = tile if tile is not None else _choose_tile(N)
     assert N % P == 0, (N, P)
@@ -116,11 +120,7 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
         far_capacity = max(P, N // 2)
     F = 1 if Wn == N else far_capacity  # no far links possible at Wn == N
 
-    if presorted:
-        # the frame is already serialized: neighbor indices ARE sorted slots
-        order = inverse = None
-        q, ok = nmap.idx, nmap.ok
-    elif sort_order is not None:
+    if sort_order is not None:
         order = sort_order.astype(jnp.int32)
         inverse = (sort_inverse if sort_inverse is not None
                    else jnp.argsort(order, axis=-1)).astype(jnp.int32)
@@ -130,24 +130,23 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
         order = jnp.argsort(codes, axis=-1).astype(jnp.int32)   # (B, N)
         inverse = jnp.argsort(order, axis=-1).astype(jnp.int32)
 
-    if not presorted:
-        # neighbor sorted slots, arranged by destination sorted slot. The
-        # row rearrangement (B, N, K+1) -> sorted order is a row permute;
-        # small integers are exact in f32, so it rides the one-hot kernel
-        q_orig = jnp.take_along_axis(
-            inverse, nmap.idx.reshape(B, -1), axis=-1).reshape(B, N, K)
-        from .pallas_gather import permute_rows
-        from .pallas_attention import pallas_available
-        if pallas_available():
-            qo = jnp.concatenate(
-                [q_orig.astype(jnp.float32), nmap.ok.astype(jnp.float32)], -1)
-            qo = permute_rows(qo, order)
-            q = qo[..., :K].astype(jnp.int32)
-            ok = qo[..., K:] > 0.5
-        else:
-            gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
-            q = jnp.take_along_axis(q_orig, gather_order, axis=1)  # (B,N,K)
-            ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
+    # neighbor sorted slots, arranged by destination sorted slot. The
+    # row rearrangement (B, N, K+1) -> sorted order is a row permute;
+    # small integers are exact in f32, so it rides the one-hot kernel
+    q_orig = jnp.take_along_axis(
+        inverse, nmap.idx.reshape(B, -1), axis=-1).reshape(B, N, K)
+    from .pallas_gather import permute_rows
+    from .pallas_attention import pallas_available
+    if pallas_available():
+        qo = jnp.concatenate(
+            [q_orig.astype(jnp.float32), nmap.ok.astype(jnp.float32)], -1)
+        qo = permute_rows(qo, order)
+        q = qo[..., :K].astype(jnp.int32)
+        ok = qo[..., K:] > 0.5
+    else:
+        gather_order = jnp.broadcast_to(order[:, :, None], (B, N, K))
+        q = jnp.take_along_axis(q_orig, gather_order, axis=1)  # (B,N,K)
+        ok = jnp.take_along_axis(nmap.ok, gather_order, axis=1)
 
     slot = jnp.arange(N, dtype=jnp.int32)
     win_start = jnp.clip(
@@ -176,6 +175,51 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
                    ).astype(jnp.int32)
 
     return WindowMap(order=order, inverse=inverse, rel=rel,
+                     far_src=far_src, far_dst=far_dst, far_k=far_k,
+                     far_ok=far_ok, far_dropped=far_dropped, nmap=nmap,
+                     tile=P, halo=halo, window=Wn)
+
+
+def window_map_from_nmap(nmap: NeighborMap, halo: int = 256,
+                         far_capacity: int | None = None,
+                         tile: int | None = None) -> WindowMap:
+    """WindowMap for a frame that is ALREADY serialized (the sorted-resident
+    backbone / host-shipped maps): neighbor indices ARE window slots, so no
+    sort/unsort permutes and no code machinery — only the cheap elementwise
+    rel split and the far-link compaction. This is the consumer of
+    host-precomputed CPE maps (train/datasets/structure.py)."""
+    B, N, K = nmap.idx.shape
+    P = tile if tile is not None else _choose_tile(N)
+    assert N % P == 0, (N, P)
+    T = N // P
+    Wn = min(N, P + 2 * halo)
+    if far_capacity is None:
+        far_capacity = max(P, N // 2)
+    F = 1 if Wn == N else min(far_capacity, N * K)
+    q, ok = nmap.idx, nmap.ok
+
+    slot = jnp.arange(N, dtype=jnp.int32)
+    win_start = jnp.clip(
+        (slot // P) * P - halo, 0, max(N - Wn, 0))               # (N,)
+    rel = q - win_start[None, :, None]
+    near = ok & (rel >= 0) & (rel < Wn)
+    rel = jnp.where(near, rel, -1).astype(jnp.int32)
+    rel = rel.reshape(B, T, P, K).transpose(0, 1, 3, 2)          # (B,T,K,P)
+
+    NK = N * K
+    far = (ok & ~near).reshape(B, NK)
+    lin = jnp.arange(NK, dtype=jnp.int32)[None, :]
+    vals, _ = jax.lax.top_k(jnp.where(far, NK - lin, 0), F)      # (B, F)
+    far_ok = vals > 0
+    fidx = jnp.where(far_ok, NK - vals, 0)
+    far_dst = (fidx // K).astype(jnp.int32)
+    far_k = (fidx % K).astype(jnp.int32)
+    far_src = jnp.take_along_axis(
+        q.reshape(B, NK), fidx, axis=-1).astype(jnp.int32)
+    far_src = jnp.where(far_ok, far_src, 0)
+    far_dropped = (jnp.sum(far, axis=-1) - jnp.sum(far_ok, axis=-1)
+                   ).astype(jnp.int32)
+    return WindowMap(order=None, inverse=None, rel=rel,
                      far_src=far_src, far_dst=far_dst, far_k=far_k,
                      far_ok=far_ok, far_dropped=far_dropped, nmap=nmap,
                      tile=P, halo=halo, window=Wn)

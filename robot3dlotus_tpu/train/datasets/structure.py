@@ -14,9 +14,12 @@ The batch's point rows are REORDERED in place (sorted by the chosen order's
 SFC code) — consumers are order-invariant (per-point losses/targets ride
 the same permutation). The model sees:
   order_perm: (num_orders,) int32 — which order shuffle the host chose;
-  stem_nmap:  (B, N, k^3) int16   — stencil neighbors in the sorted frame.
-and skips its shuffle rng, stage-0 entry sort, and stem map construction
-(models/ptv3.py __call__).
+  stem_nmap:  (B, N, k^3) int16   — stencil neighbors in the sorted frame;
+  cpe_nmap{s}: (B, cap_s, 27) int16 — each stage's CPE stencil map, built
+    by replaying the pooling cascade on the host (parents are contiguous
+    runs of codes >> 3 in the sorted-resident frame).
+and skips its shuffle rng, stage-0 entry sort, stem map construction, and
+every per-stage occupancy-table build (models/ptv3.py __call__/_make_aux).
 
 Not used under sequence parallelism: stem_nmap indexes each row's local
 point axis, which an sp-sharded layout splits (the driver attaches
@@ -43,6 +46,7 @@ def structure_cfg_from_model(model_cfg):
     """MODEL config node -> the geometry knobs the host builder needs."""
     p3 = dict(model_cfg["ptv3_config"])
     act = dict(model_cfg["action_config"])
+    caps = p3.get("stage_caps")
     return dict(
         orders=tuple(p3.get("order") or p3.get("orders") or SFC_ORDERS),
         serial_depth=int(p3.get("serial_depth", 10)),
@@ -50,7 +54,45 @@ def structure_cfg_from_model(model_cfg):
         stem_kernel=int(p3.get("stem_kernel", 5)),
         lookup_extent=int(p3.get("lookup_extent", 128)),
         shuffle=bool(p3.get("shuffle_orders", True)),
+        num_stages=len(p3["enc_depths"]),
+        min_patch=int(min(p3["enc_patch_size"])),
+        stage_caps=tuple(int(c) for c in caps) if caps else None,
     )
+
+
+def _stage_caps_np(cfg, n0):
+    """Host twin of PointTransformerV3TPU._stage_caps (models/ptv3.py):
+    the shipped per-stage maps must use the exact capacities the model
+    will compute for this point count."""
+    caps_cfg, mp = cfg.get("stage_caps"), cfg["min_patch"]
+    if caps_cfg is not None:
+        base = list(caps_cfg)
+        if n0 >= base[0]:
+            return [min(base[0], n0)] + base[1:]
+        out = [n0]
+        for c in base[1:]:
+            scaled = -(-c * n0 // base[0])
+            scaled = -(-scaled // mp) * mp
+            out.append(max(min(scaled, c), min(mp, n0)))
+        return out
+    caps = [n0]
+    for _ in range(1, cfg["num_stages"]):
+        caps.append(max(caps[-1] // 2, mp))
+    return caps
+
+
+def _stage_nmap(grid, counts, kernel, depth, ext):
+    """One stage's stencil map: C++ dense table, numpy twin fallback."""
+    from ...native import neighbor_map_dense_native
+    from ...ops.sparse_conv import build_neighbor_map_np, stencil_offsets
+    nmap = None
+    if ext:
+        nmap = neighbor_map_dense_native(
+            grid, counts, stencil_offsets(kernel), ext)
+    if nmap is None:  # no native lib, or coords out of the dense extent
+        nmap = build_neighbor_map_np(grid, counts, kernel, depth,
+                                     extent=ext or None).astype(np.int16)
+    return nmap
 
 
 def attach_host_structure(batch, cfg, rng):
@@ -64,9 +106,11 @@ def attach_host_structure(batch, cfg, rng):
     order0 = orders[int(perm[0])]
 
     pc = batch["pc_fts"]
-    counts = np.asarray(batch["pc_counts"])
+    counts = np.asarray(batch["pc_counts"]).astype(np.int32)
     B, N, _ = pc.shape
+    sentinel = np.int32(np.iinfo(np.int32).max)
     grid = np.zeros((B, N, 3), np.int32)
+    codes = np.full((B, N), sentinel, np.int32)
     for b in range(B):
         n = int(counts[b])
         if n == 0:
@@ -76,7 +120,8 @@ def attach_host_structure(batch, cfg, rng):
         gc = np.floor((xyz - xyz.min(0, keepdims=True)) / gs).astype(
             np.int32)
         np.clip(gc, 0, (1 << depth) - 1, out=gc)
-        o = np.argsort(sfc_encode_np(gc, order0, depth), kind="stable")
+        c = sfc_encode_np(gc, order0, depth)
+        o = np.argsort(c, kind="stable")
         for key in _POINT_KEYS:
             if key in batch:
                 batch[key][b, :n] = batch[key][b, :n][o]
@@ -85,22 +130,44 @@ def attach_host_structure(batch, cfg, rng):
             v = dp[b].reshape(dp[b].shape[:-1] + (N, -1))
             v[..., :n, :] = v[..., o, :]
         grid[b, :n] = gc[o]
+        codes[b, :n] = c[o]
 
     batch["order_perm"] = perm
-    ext = cfg.get("lookup_extent") or None
+    ext = cfg.get("lookup_extent") or 0
     assert N < np.iinfo(np.int16).max
-    nmap = None
-    if ext:
-        # C++ dense-table builder (native/voxelize.cpp neighbor_map_dense):
-        # ~25x over the numpy twin at release shape (B=16, N=4096, k=5) —
-        # this runs per batch on the loader thread, so it must be far
-        # cheaper than a device step. Bails (None) on out-of-extent coords.
-        from ...native import neighbor_map_dense_native
-        from ...ops.sparse_conv import stencil_offsets
-        nmap = neighbor_map_dense_native(
-            grid, counts, stencil_offsets(cfg["stem_kernel"]), ext)
-    if nmap is None:
-        nmap = build_neighbor_map_np(grid, counts, cfg["stem_kernel"],
-                                     depth, extent=ext).astype(np.int16)
-    batch["stem_nmap"] = nmap
+    # the C++ dense-table builder (native/voxelize.cpp neighbor_map_dense)
+    # is ~25x over the numpy twin at release shape; it runs per batch on
+    # the loader thread, so it must be far cheaper than a device step
+    batch["stem_nmap"] = _stage_nmap(grid, counts, cfg["stem_kernel"],
+                                     depth, ext)
+
+    # replay the pooling cascade (models/ptv3.py _pool on the unshuffled,
+    # sorted-resident frame): parents are contiguous runs of codes >> 3;
+    # heads keep the run's first grid coord >> 1; overflow heads beyond the
+    # stage capacity are dropped exactly like ops/pooling.build_pool_maps.
+    # Each stage's k=3 CPE stencil map ships as cpe_nmap{s} — the model
+    # then builds NO occupancy tables on the device (ptv3._make_aux).
+    caps = _stage_caps_np(cfg, N)
+    for s in range(cfg["num_stages"]):
+        if s > 0:
+            cap = caps[s]
+            new_grid = np.zeros((B, cap, 3), np.int32)
+            new_codes = np.full((B, cap), sentinel, np.int32)
+            new_counts = np.zeros(B, np.int32)
+            for b in range(B):
+                n = int(counts[b])
+                if n == 0:
+                    continue
+                par = codes[b, :n] >> 3
+                head = np.empty(n, bool)
+                head[0] = True
+                head[1:] = par[1:] != par[:-1]
+                hidx = np.nonzero(head)[0][:cap]
+                k = len(hidx)
+                new_grid[b, :k] = grid[b, hidx] >> 1
+                new_codes[b, :k] = par[hidx]
+                new_counts[b] = k
+            grid, codes, counts = new_grid, new_codes, new_counts
+            depth = max(depth - 1, 1)
+        batch[f"cpe_nmap{s}"] = _stage_nmap(grid, counts, 3, depth, ext)
     return batch

@@ -42,8 +42,11 @@ def shrink_for_init(batch, n=_INIT_SHRINK_N, t=_INIT_SHRINK_T):
     out = {}
     full_n = batch["pc_fts"].shape[1]
     for k, v in batch.items():
-        if k == "order_perm":  # (num_orders,) — no batch axis to slice
-            out[k] = v
+        if k in ("order_perm", "stem_nmap") or k.startswith("cpe_nmap"):
+            # host-structure keys (datasets/structure.py) are index maps
+            # whose shapes follow the FULL point count / stage capacities;
+            # init just drops them — the no-structure trace yields the
+            # identical param tree (structure changes dataflow, not params)
             continue
         v1 = v[:1]
         if k in point_keys and v1.ndim >= 2:
@@ -52,11 +55,6 @@ def shrink_for_init(batch, n=_INIT_SHRINK_N, t=_INIT_SHRINK_T):
             v1 = v1[:, :t]
         elif k == "pc_counts":
             v1 = jnp.minimum(v1, n)
-        elif k == "stem_nmap":
-            # host structure (datasets/structure.py): shrink the point axis
-            # and clamp neighbor indices into the shrunk row range — init
-            # numerics are irrelevant, only shape consistency matters
-            v1 = jnp.minimum(v1[:, :n], n - 1)
         elif k == "disc_pos_probs" and v1.ndim >= 2 and full_n and \
                 v1.shape[-1] % full_n == 0:
             # (1, [L,] 3, N*nb) -> keep the first n points' candidates
