@@ -89,9 +89,30 @@ def bench_latency(num_calls=None, warmup=5):
     # robot-removed clouds are 1-2k points, a fraction of num_points.
     buckets = tuple(sorted({max(N // 4, 256), N // 2, N}))
 
+    # BENCH_LAT_STRUCT=1: host-built structure maps ride one extra int16
+    # H2D buffer so the device builds no stencil occupancy tables
+    # (eval/actioner.py mirrors this). Default OFF — measured net-slower
+    # at B=1 on this rig: +3.5 ms host map build + the map transfer on
+    # the critical path exceed the device-side table-build saving
+    # (A/B in BENCH_NOTES.md round 3).
+    lat_struct = os.environ.get("BENCH_LAT_STRUCT", "0") == "1"
+    from robot3dlotus_tpu.train.datasets.structure import (
+        structure_cfg_from_model, build_structure_maps, _stage_caps_np)
+    lat_scfg = structure_cfg_from_model(
+        {"ptv3_config": dict(RELEASE_PTV3), "action_config": dict(RELEASE_ACT)})
+
+    def struct_segments(nb):
+        caps = _stage_caps_np(lat_scfg, nb)
+        segs = [("stem_nmap", nb, lat_scfg["stem_kernel"] ** 3)]
+        for s in range(lat_scfg["num_stages"]):
+            segs.append((f"cpe_nmap{s}", caps[s], 27))
+        return segs
+
     def make_run_flat(nb):
+        segs = struct_segments(nb)
+
         @jax.jit
-        def run_flat(variables, flat, txt_dev, txt_mask_dev):
+        def run_flat(variables, flat, txt_dev, txt_mask_dev, smap=None):
             pc = flat[:nb * 7].reshape(1, nb, 7)
             mask = flat[nb * 7:nb * 8].reshape(1, nb) > 0.5
             count = flat[nb * 8].astype(jnp.int32)[None]
@@ -102,6 +123,12 @@ def bench_latency(num_calls=None, warmup=5):
                 "txt_embeds": txt_dev, "txt_mask": txt_mask_dev,
                 "ee_poses": ee, "step_ids": step_id,
             }
+            if smap is not None:
+                off = 0
+                for skey, rows_, taps in segs:
+                    batch[skey] = smap[off:off + rows_ * taps].reshape(
+                        1, rows_, taps)
+                    off += rows_ * taps
             preds = model_sorted.apply(variables, batch, deterministic=True)
             return decode_actions(preds, RELEASE_ACT)
         return run_flat
@@ -249,11 +276,27 @@ def bench_latency(num_calls=None, warmup=5):
         flat[nb * 8 + 9] = 0
         if nb not in run_flat_by_bucket:
             run_flat_by_bucket[nb] = make_run_flat(nb)
+        smap = None
+        if lat_struct:
+            gc2 = np.floor((pc_ft[:, :3] - pc_ft[:, :3].min(0, keepdims=True))
+                           / grid_size).astype(np.int32)
+            np.clip(gc2, 0, (1 << presort_depth) - 1, out=gc2)
+            grid1 = np.zeros((1, nb, 3), np.int32)
+            codes1 = np.full((1, nb), np.iinfo(np.int32).max, np.int32)
+            grid1[0, :n] = gc2
+            codes1[0, :n] = sfc_encode_np(gc2, presort_order, presort_depth)
+            maps = build_structure_maps(
+                grid1, codes1, np.array([n], np.int32), lat_scfg,
+                depth=presort_depth)
+            smap = np.concatenate(
+                [maps[k].reshape(-1) for k, _, _ in struct_segments(nb)])
         th = time.perf_counter()  # host numpy done; batch H2D next
         flat_dev = jnp.asarray(flat)
+        args = (variables, flat_dev, txt_dev, txt_mask_dev)
+        if smap is not None:
+            args += (jnp.asarray(smap),)
         t1 = time.perf_counter()
-        action = np.asarray(run_flat_by_bucket[nb](
-            variables, flat_dev, txt_dev, txt_mask_dev))
+        action = np.asarray(run_flat_by_bucket[nb](*args))
         t2 = time.perf_counter()
         return action, (t1 - t0) * 1e3, (t2 - t1) * 1e3, (th - t0) * 1e3
 
@@ -538,7 +581,14 @@ def bench_train(bench_model, B, N, steps, dtype, impl):
         batch = {k: _jnp.asarray(v) for k, v in bnp.items()}
         print(f"bench: host structure {struct_host_ms} ms/batch",
               file=sys.stderr, flush=True)
-    rng = jax.random.PRNGKey(0)
+    # BENCH_RNG=rbg threads an XLA RngBitGenerator key through the train
+    # step instead of threefry: each flax Dropout draw lowers to ONE
+    # RngBitGenerator HLO instead of a chain of tiny counter fusions —
+    # profiling showed hundreds of ~240 us threefry crumbs per step on
+    # this rig (every tiny kernel pays a fixed launch floor).
+    rng_impl = os.environ.get("BENCH_RNG", "rbg")
+    rng = jax.random.key(0, impl=rng_impl) if rng_impl != "threefry" \
+        else jax.random.PRNGKey(0)
     print("bench: init...", file=sys.stderr, flush=True)
     state, _ = create_train_state(model, batch, train_cfg, rng)
     print("bench: compiling train step...", file=sys.stderr, flush=True)

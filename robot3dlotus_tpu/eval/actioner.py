@@ -86,6 +86,20 @@ class Actioner:
             self._point_buckets = tuple(sorted({
                 max(self.num_points // 4, 256), self.num_points // 2,
                 self.num_points}))
+        # host-built structure maps for the flat path: clouds are already
+        # host-presorted, so the stem + per-stage CPE stencil maps
+        # (train/datasets/structure.py) can ship as ONE extra int16 H2D
+        # buffer and the device builds no occupancy tables. Default OFF:
+        # at B=1 the map build (~3.5 ms numpy) + the ~0.5-1 MB transfer
+        # sit ON the latency critical path and measured net-slower than
+        # letting the device build its own tables (A/B in BENCH_NOTES.md
+        # round 3; training keeps maps on because the loader thread
+        # overlaps them with device compute). ROBOT3DLOTUS_EVAL_STRUCT=1
+        # enables it for hosts where H2D is PCIe-fast and cores are free.
+        from ..train.datasets.structure import structure_cfg_from_model
+        self._struct_cfg = structure_cfg_from_model(dict(self.config.MODEL))
+        self.host_structure = os.environ.get(
+            "ROBOT3DLOTUS_EVAL_STRUCT", "0") == "1"
         rng = jax.random.PRNGKey(0)
         sample = self._dummy_batch()
         from ..train.trainer import init_variables
@@ -191,13 +205,14 @@ class Actioner:
         jax.jit retraces per (B, T) shape; N is the point-capacity bucket
         (one executable per bucket, chosen per cloud)."""
         N = self.num_points if N is None else N
-        key = ("flatb", cin, N)
+        key = ("flatb", cin, N, self.host_structure)
         if key not in self._jit_cache:
             model, act_cfg = self.model_eval, self.act_cfg
             row = N * (cin + 1) + 10
+            segs = self._struct_segments(N) if self.host_structure else ()
 
             @jax.jit
-            def run(variables, flat, txt_dev, txt_mask_dev):
+            def run(variables, flat, txt_dev, txt_mask_dev, smap=None):
                 B = flat.shape[0]
                 assert flat.shape[1] == row
                 pc = flat[:, :N * cin].reshape(B, N, cin)
@@ -210,11 +225,55 @@ class Actioner:
                     "txt_embeds": txt_dev, "txt_mask": txt_mask_dev,
                     "ee_poses": ee, "step_ids": step_id,
                 }
+                if smap is not None:  # packed host structure (int16)
+                    off = 0
+                    for skey, rows_, taps in segs:
+                        batch[skey] = smap[:, off:off + rows_ * taps] \
+                            .reshape(B, rows_, taps)
+                        off += rows_ * taps
                 preds = model.apply(variables, batch, deterministic=True)
                 return decode_actions(preds, act_cfg)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _struct_segments(self, N):
+        """Static layout of the packed structure buffer at point bucket N:
+        [(batch_key, rows, taps), ...] — stem first, then the per-stage
+        CPE maps at the capacities the model computes for this bucket."""
+        from ..train.datasets.structure import _stage_caps_np
+        caps = _stage_caps_np(self._struct_cfg, N)
+        segs = [("stem_nmap", N, self._struct_cfg["stem_kernel"] ** 3)]
+        for s in range(self._struct_cfg["num_stages"]):
+            segs.append((f"cpe_nmap{s}", caps[s], 27))
+        return segs
+
+    def _struct_buf(self, rows, N):
+        """rows: list of presorted pc_ft arrays (one per query). Returns the
+        packed (len(rows), S) int16 structure buffer for point bucket N."""
+        from ..train.datasets.structure import build_structure_maps
+        from ..ops.serialization import sfc_encode_np
+        order0, depth, gs = self._presort_cfg
+        B = len(rows)
+        grid = np.zeros((B, N, 3), np.int32)
+        codes = np.full((B, N), np.iinfo(np.int32).max, np.int32)
+        counts = np.zeros(B, np.int32)
+        for b, pc_ft in enumerate(rows):
+            n = min(len(pc_ft), N)
+            counts[b] = n
+            if n == 0:
+                continue
+            xyz = pc_ft[:n, :3]
+            gc = np.floor((xyz - xyz.min(0, keepdims=True)) /
+                          np.float32(gs)).astype(np.int32)
+            np.clip(gc, 0, (1 << depth) - 1, out=gc)
+            grid[b, :n] = gc
+            codes[b, :n] = sfc_encode_np(gc, order0, depth)
+        maps = build_structure_maps(grid, codes, counts, self._struct_cfg,
+                                    depth=depth)
+        return np.concatenate(
+            [maps[key].reshape(B, -1) for key, _, _ in
+             self._struct_segments(N)], axis=1)
 
     def _staged_txt(self, instr, instr_embed, batched=False):
         """Device-staged (txt_embeds (T, D), txt_mask (T,)) per embedding —
@@ -598,9 +657,11 @@ class Actioner:
             txt_dev, txt_mask_dev = self._staged_txt(
                 instructions[0], instr_embed, batched=True)
             run = self._predict_fn_flat_batch(cin, N)
+            args = (self.variables, jnp.asarray(flat), txt_dev, txt_mask_dev)
+            if self.host_structure:
+                args += (jnp.asarray(self._struct_buf([pc_ft], N)),)
             # np.array: device arrays view as read-only numpy
-            action = np.array(run(self.variables, jnp.asarray(flat),
-                                  txt_dev, txt_mask_dev))[0]
+            action = np.array(run(*args))[0]
         action = self._finish_action(action, centroid, radius)
         self._save_obs_out(taskvar, episode_id, step_id, obs, action)
         return {"action": action}
@@ -671,9 +732,13 @@ class Actioner:
                     flat[r] = flat[0]
                     txt[r] = txt[0]
                     txt_mask[r] = txt_mask[0]
-                actions = np.array(run(
-                    self.variables, jnp.asarray(flat),
-                    jnp.asarray(txt), jnp.asarray(txt_mask)))
+                args = (self.variables, jnp.asarray(flat),
+                        jnp.asarray(txt), jnp.asarray(txt_mask))
+                if self.host_structure:
+                    struct_rows = [pr[1] for pr in chunk]
+                    struct_rows += [chunk[0][1]] * (B - len(chunk))
+                    args += (jnp.asarray(self._struct_buf(struct_rows, Nb)),)
+                actions = np.array(run(*args))
             for r, (i, _, centroid, radius, _, _, _) in enumerate(chunk):
                 action = self._finish_action(actions[r].copy(),
                                              centroid, radius)

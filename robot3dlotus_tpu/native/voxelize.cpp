@@ -264,21 +264,47 @@ long neighbor_map_dense(const int32_t* grid, const int32_t* counts,
                 ns.idx[c] = static_cast<int32_t>(i);
             }
         }
+        // interior fast path: when every stencil tap stays inside the
+        // extent cube (one range test per point instead of six per tap),
+        // the tap address is just c + dlin[k] — the loop is one load and
+        // one compare per tap. Boundary points (a few % of a workspace
+        // cloud) take the per-tap-checked path.
+        std::vector<int64_t> dlin(static_cast<size_t>(K));
+        int32_t r = 0;
+        for (long k = 0; k < K; ++k) {
+            dlin[static_cast<size_t>(k)] =
+                int64_t(offs[3 * k]) * E2 + int64_t(offs[3 * k + 1]) * E +
+                offs[3 * k + 2];
+            for (int a = 0; a < 3; ++a)
+                r = std::max(r, std::abs(offs[3 * k + a]));
+        }
+        const int32_t* stamp = ns.stamp.data();
+        const int32_t* idx = ns.idx.data();
         for (long i = 0; i < n; ++i) {
-            const int64_t x = gc[3 * i], y = gc[3 * i + 1], z = gc[3 * i + 2];
+            const int32_t x = gc[3 * i], y = gc[3 * i + 1], z = gc[3 * i + 2];
             int16_t* row = o + i * K;
+            if (x >= r && x < E - r && y >= r && y < E - r &&
+                z >= r && z < E - r) {
+                const int64_t c = int64_t(x) * E2 + int64_t(y) * E + z;
+                for (long k = 0; k < K; ++k) {
+                    const int64_t q = c + dlin[static_cast<size_t>(k)];
+                    row[k] = (stamp[q] == ep)
+                                 ? static_cast<int16_t>(idx[q]) : int16_t(-1);
+                }
+                continue;
+            }
             for (long k = 0; k < K; ++k) {
-                const int64_t qx = x + offs[3 * k],
-                              qy = y + offs[3 * k + 1],
-                              qz = z + offs[3 * k + 2];
+                const int64_t qx = int64_t(x) + offs[3 * k],
+                              qy = int64_t(y) + offs[3 * k + 1],
+                              qz = int64_t(z) + offs[3 * k + 2];
                 if (qx < 0 || qx >= E || qy < 0 || qy >= E ||
                     qz < 0 || qz >= E) {
                     row[k] = -1;
                     continue;
                 }
                 const int64_t c = qx * E2 + qy * E + qz;
-                row[k] = (ns.stamp[c] == ep)
-                             ? static_cast<int16_t>(ns.idx[c]) : int16_t(-1);
+                row[k] = (stamp[c] == ep)
+                             ? static_cast<int16_t>(idx[c]) : int16_t(-1);
             }
         }
         std::memset(o + n * K, 0xff, sizeof(int16_t) * (N - n) * K);

@@ -133,20 +133,33 @@ def attach_host_structure(batch, cfg, rng):
         codes[b, :n] = c[o]
 
     batch["order_perm"] = perm
+    batch.update(build_structure_maps(grid, codes, counts, cfg))
+    return batch
+
+
+def build_structure_maps(grid, codes, counts, cfg, depth=None):
+    """Stencil maps for a batch ALREADY in the sorted-resident frame:
+    the k=stem_kernel stage-0 map plus the k=3 CPE map of every stage,
+    replaying the pooling cascade (models/ptv3.py _pool on the unshuffled
+    frame): parents are contiguous runs of codes >> 3; heads keep the
+    run's first grid coord >> 1; overflow heads beyond the stage capacity
+    are dropped exactly like ops/pooling.build_pool_maps. With these keys
+    the model builds NO occupancy tables on the device (ptv3._make_aux).
+
+    grid: (B, N, 3) int32 sorted-frame grid coords; codes: (B, N) int32
+    chosen-order SFC codes (ascending per valid prefix); counts: (B,).
+    Returns {"stem_nmap": ..., "cpe_nmap{s}": ...} (int16, -1 = missing).
+    The eval actioner shares this builder for its latency path."""
+    B, N = codes.shape
+    depth = cfg["serial_depth"] if depth is None else depth
+    sentinel = np.int32(np.iinfo(np.int32).max)
     ext = cfg.get("lookup_extent") or 0
     assert N < np.iinfo(np.int16).max
     # the C++ dense-table builder (native/voxelize.cpp neighbor_map_dense)
-    # is ~25x over the numpy twin at release shape; it runs per batch on
+    # is ~50x over the numpy twin at release shape; it runs per batch on
     # the loader thread, so it must be far cheaper than a device step
-    batch["stem_nmap"] = _stage_nmap(grid, counts, cfg["stem_kernel"],
-                                     depth, ext)
-
-    # replay the pooling cascade (models/ptv3.py _pool on the unshuffled,
-    # sorted-resident frame): parents are contiguous runs of codes >> 3;
-    # heads keep the run's first grid coord >> 1; overflow heads beyond the
-    # stage capacity are dropped exactly like ops/pooling.build_pool_maps.
-    # Each stage's k=3 CPE stencil map ships as cpe_nmap{s} — the model
-    # then builds NO occupancy tables on the device (ptv3._make_aux).
+    out = {"stem_nmap": _stage_nmap(grid, counts, cfg["stem_kernel"],
+                                    depth, ext)}
     caps = _stage_caps_np(cfg, N)
     for s in range(cfg["num_stages"]):
         if s > 0:
@@ -169,5 +182,5 @@ def attach_host_structure(batch, cfg, rng):
                 new_counts[b] = k
             grid, codes, counts = new_grid, new_codes, new_counts
             depth = max(depth - 1, 1)
-        batch[f"cpe_nmap{s}"] = _stage_nmap(grid, counts, 3, depth, ext)
-    return batch
+        out[f"cpe_nmap{s}"] = _stage_nmap(grid, counts, 3, depth, ext)
+    return out

@@ -111,7 +111,13 @@ def run_training(config, spec: TaskSpec):
     base_seed = int(config.get("SEED", 2024))
     seed = base_seed + jax.process_index()  # per-process: augmentation etc.
     np.random.seed(seed)
-    rng = jax.random.PRNGKey(seed)
+    # default rbg: dropout draws lower to one RngBitGenerator HLO each
+    # instead of threefry counter chains — profiling showed hundreds of
+    # tiny (~fixed-launch-cost) threefry fusions per train step on TPU.
+    # TRAIN.rng_impl=threefry restores the counter-based stream.
+    rng_impl = str(config.TRAIN.get("rng_impl", "rbg"))
+    rng = jax.random.PRNGKey(seed) if rng_impl == "threefry" \
+        else jax.random.key(seed, impl=rng_impl)
 
     tds_cfg = dict(config.TRAIN_DATASET)
     dataset = spec.build_dataset(tds_cfg, np.random.RandomState(seed))

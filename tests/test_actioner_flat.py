@@ -125,6 +125,40 @@ def test_mp_flat_predict_matches_dict_batch(tmp_path):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_host_structure_flat_path_matches(tmp_path):
+    """ROBOT3DLOTUS_EVAL_STRUCT=1 (host-built stencil maps ride the H2D
+    buffer, device builds no occupancy tables) must reproduce the
+    device-built-tables program exactly. Off by default — the map build +
+    transfer measured net-slower at B=1 on an RPC-priced link
+    (BENCH_NOTES.md round-3 A/B) — but the path stays correct for hosts
+    with PCIe-attached devices."""
+    a = _actioner(tmp_path)
+    rng = np.random.RandomState(11)
+    N = a.num_points
+    n = N // 2 - 5
+    cin = int(a.config.MODEL.ptv3_config.in_channels)
+    pc_ft = rng.uniform(-0.4, 0.4, (n, cin)).astype(np.float32)
+    instr_embed = rng.randn(3, 64).astype(np.float32)
+    ee = np.asarray([0.1, -0.2, 0.9, 0, 0, 0, 1, 1], np.float32)
+
+    pc_sorted = a._presort(pc_ft)
+    Nb = _bucket(n, a._point_buckets)
+    flat = np.zeros((1, Nb * (cin + 1) + 10), np.float32)
+    a._pack_flat_row(flat[0], pc_sorted, ee, 2, N=Nb)
+    txt_dev, txt_mask_dev = a._staged_txt("instr", instr_embed, batched=True)
+
+    assert not a.host_structure  # default off (latency A/B, BENCH_NOTES)
+    ref = np.asarray(a._predict_fn_flat_batch(cin, Nb)(
+        a.variables, jnp.asarray(flat), txt_dev, txt_mask_dev))[0]
+
+    a.host_structure = True
+    smap = a._struct_buf([pc_sorted], Nb)
+    got = np.asarray(a._predict_fn_flat_batch(cin, Nb)(
+        a.variables, jnp.asarray(flat), txt_dev, txt_mask_dev,
+        jnp.asarray(smap)))[0]
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_bucketed_presorted_path_matches_full_capacity_model(tmp_path):
     """The latency path (host presort into the stage-0 SFC frame +
     assume_sorted backbone + point-capacity bucketing) must reproduce the
