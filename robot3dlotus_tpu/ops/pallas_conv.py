@@ -229,13 +229,27 @@ def window_map_from_nmap(nmap: NeighborMap, halo: int = 256,
 # kernel
 # --------------------------------------------------------------------------
 
+def _choose_tap_chunk(K, cin, cout, itemsize, budget=3 * 1024 * 1024):
+    """Taps per grid step: the largest divisor of K whose weight chunk
+    (KB, Cin, Cout) fits `budget` VMEM (Mosaic double-buffers grid-indexed
+    blocks, so the live footprint is ~2x this). Chunking exists because a
+    (B, T, K) grid pays the fixed per-step pipeline cost K times per tile —
+    profiled at ~0.4 us/step, that was ~70% of the release CPE conv time
+    (grid 16*32*27 = 13824 steps) and ~90% of the k=125 stem."""
+    best = 1
+    for kb in range(K, 0, -1):
+        if K % kb == 0 and kb * cin * cout * itemsize <= budget:
+            return kb
+    return best
+
+
 def _conv_kernel(rel_ref, w_ref, feat_hbm, out_ref, window, sem, *,
-                 tile, halo, wn, n):
+                 tile, halo, wn, n, kb):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    k = pl.program_id(2)
+    kc = pl.program_id(2)
 
-    @pl.when(k == 0)
+    @pl.when(kc == 0)
     def _():
         start = jnp.clip(t * tile - halo, 0, max(n - wn, 0))
         # every reachable value (0, t*P-H, n-wn) is a multiple of the tile
@@ -248,19 +262,22 @@ def _conv_kernel(rel_ref, w_ref, feat_hbm, out_ref, window, sem, *,
         cp.wait()
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    rel = rel_ref[0, 0, k]                                   # (P,) int32
     win = window[...]                                        # (Wn, Cin)
-    onehot = (rel[:, None] ==
-              jax.lax.broadcasted_iota(jnp.int32, (tile, wn), 1))
-    gathered = jax.lax.dot_general(                          # (P, Cin)
-        onehot.astype(win.dtype), win,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    contrib = jax.lax.dot_general(                           # (P, Cout)
-        gathered.astype(w_ref.dtype), w_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[0] += contrib.astype(out_ref.dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wn), 1)
+    acc = None
+    for j in range(kb):  # static unroll: kb taps per grid step
+        rel = rel_ref[0, 0, j]                               # (P,) int32
+        onehot = (rel[:, None] == iota)
+        gathered = jax.lax.dot_general(                      # (P, Cin)
+            onehot.astype(win.dtype), win,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        contrib = jax.lax.dot_general(                       # (P, Cout)
+            gathered.astype(w_ref.dtype), w_ref[j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = contrib if acc is None else acc + contrib
+    out_ref[0] += acc.astype(out_ref.dtype)
 
 
 def _windowed_core(feat_sorted, rel, weight, *, tile, halo, wn,
@@ -281,25 +298,28 @@ def _windowed_core(feat_sorted, rel, weight, *, tile, halo, wn,
         feat_sorted = jnp.pad(feat_sorted, ((0, 0), (0, 0), (0, pad)))
         weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
         Cin += pad
-    kern = functools.partial(_conv_kernel, tile=tile, halo=halo, wn=wn, n=N)
+    KB = _choose_tap_chunk(K, Cin, Cout, weight.dtype.itemsize)
+    kern = functools.partial(_conv_kernel, tile=tile, halo=halo, wn=wn, n=N,
+                             kb=KB)
     flops = 2 * B * T * K * (P * wn * Cin + P * Cin * Cout)
     out = pl.pallas_call(
         kern,
-        grid=(B, T, K),
+        grid=(B, T, K // KB),
         in_specs=[
-            # one (K, P) block per (b, t): Mosaic wants the last two block
-            # dims (8,128)-aligned or equal to the array dims, and fetching
-            # all K rows at once also avoids K re-fetches of the same tile
-            pl.BlockSpec((1, 1, K, P), lambda b, t, k: (b, t, 0, 0),
+            # one (KB, P) tap-chunk block per grid step: Mosaic wants the
+            # last two block dims (8,128)-aligned or equal to the array
+            # dims; chunking taps raises per-step work so the fixed
+            # pipeline cost amortizes (see _choose_tap_chunk)
+            pl.BlockSpec((1, 1, KB, P), lambda b, t, kc: (b, t, kc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cin, Cout), lambda b, t, k: (k, 0, 0),
+            pl.BlockSpec((KB, Cin, Cout), lambda b, t, kc: (kc, 0, 0),
                          memory_space=pltpu.VMEM),
             # keep features in HBM explicitly: under pl.ANY the compiler
             # may promote them to VMEM with 128-lane tiling, and the halo
             # DMA slice is then misaligned for Cin < 128
             pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, P, Cout), lambda b, t, k: (b, t, 0),
+        out_specs=pl.BlockSpec((1, P, Cout), lambda b, t, kc: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, Cout), jnp.float32),
         scratch_shapes=[
@@ -354,13 +374,13 @@ def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
 
 
 def _dw_kernel(rel_ref, g_ref, feat_hbm, dw_ref, window, sem, *,
-               tile, halo, wn, n):
-    """dW[k] += gather(window, rel_k)^T @ g_tile, accumulated across the
-    whole (b, t) sweep. Grid is (K, B, T) with k OUTERMOST so the dW block
-    for tap k stays VMEM-resident while every window streams through; the
-    window DMA re-issues per step (compute is ~Cin MACs per DMA'd byte, so
-    the copy hides under the MXU on any healthy part)."""
-    k = pl.program_id(0)
+               tile, halo, wn, n, kb):
+    """dW[k] += gather(window, rel_k)^T @ g_tile for each tap k of this
+    chunk, accumulated across the whole (b, t) sweep. Grid is (KC, B, T)
+    with the tap chunk OUTERMOST so the dW blocks for the chunk stay
+    VMEM-resident while every window streams through; the window DMA
+    re-issues per step (compute is ~Cin MACs per DMA'd byte, so the copy
+    hides under the MXU on any healthy part)."""
     b = pl.program_id(1)
     t = pl.program_id(2)
 
@@ -376,19 +396,20 @@ def _dw_kernel(rel_ref, g_ref, feat_hbm, dw_ref, window, sem, *,
     cp.start()
     cp.wait()
 
-    rel = rel_ref[0, 0, k]                                   # (P,) int32
     win = window[...]                                        # (Wn, Cin)
-    onehot = (rel[:, None] ==
-              jax.lax.broadcasted_iota(jnp.int32, (tile, wn), 1))
-    gathered = jax.lax.dot_general(                          # (P, Cin)
-        onehot.astype(win.dtype), win,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    g = g_ref[0]                                             # (P, Cout)
-    dw_ref[0] += jax.lax.dot_general(                        # (Cin, Cout)
-        gathered.astype(jnp.float32), g.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    g = g_ref[0].astype(jnp.float32)                         # (P, Cout)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, wn), 1)
+    for j in range(kb):  # static unroll: kb taps per grid step
+        rel = rel_ref[0, 0, j]                               # (P,) int32
+        onehot = (rel[:, None] == iota)
+        gathered = jax.lax.dot_general(                      # (P, Cin)
+            onehot.astype(win.dtype), win,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_ref[j] += jax.lax.dot_general(                    # (Cin, Cout)
+            gathered, g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _dw_windowed(feat_sorted, g_sorted, rel, *, tile, halo, wn,
@@ -403,21 +424,25 @@ def _dw_windowed(feat_sorted, g_sorted, rel, *, tile, halo, wn,
         pad = 128 - Cin % 128
         feat_sorted = jnp.pad(feat_sorted, ((0, 0), (0, 0), (0, pad)))
         Cin += pad
-    kern = functools.partial(_dw_kernel, tile=tile, halo=halo, wn=wn, n=N)
+    # the dW chunk is fp32 (itemsize 4) and stays resident across the whole
+    # (b, t) sweep rather than double-buffering, same budget as the forward
+    KB = _choose_tap_chunk(K, Cin, Cout, 4)
+    kern = functools.partial(_dw_kernel, tile=tile, halo=halo, wn=wn, n=N,
+                             kb=KB)
     dw = pl.pallas_call(
         kern,
-        grid=(K, B, T),
+        grid=(K // KB, B, T),
         in_specs=[
-            # full (K, P) block per (b, t) — same Mosaic alignment rule as
-            # the forward (last two block dims must be (8,128)-aligned or
-            # equal to the array dims); the K-row refetch is 13 KB/step
-            pl.BlockSpec((1, 1, K, P), lambda k, b, t: (b, t, 0, 0),
+            # (KB, P) tap-chunk block per (b, t) — same Mosaic alignment
+            # rule as the forward (last two block dims must be
+            # (8,128)-aligned or equal to the array dims)
+            pl.BlockSpec((1, 1, KB, P), lambda kc, b, t: (b, t, kc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, Cout), lambda k, b, t: (b, t, 0),
+            pl.BlockSpec((1, P, Cout), lambda kc, b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Cin, Cout), lambda k, b, t: (k, 0, 0),
+        out_specs=pl.BlockSpec((KB, Cin, Cout), lambda kc, b, t: (kc, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, Cin, Cout), jnp.float32),
         scratch_shapes=[
