@@ -82,6 +82,15 @@ class Actioner:
         if pb:
             self._point_buckets = tuple(
                 sorted({min(int(x), self.num_points) for x in pb.split(",")}))
+            # validate up front: deep inside the Pallas window-map build a
+            # non-tile-multiple bucket trips an opaque trace-time assert
+            tile = int(min(_p3.get("enc_patch_size", [128])))
+            bad = [b for b in self._point_buckets if b % tile or b <= 0]
+            if bad:
+                raise ValueError(
+                    f"ROBOT3DLOTUS_POINT_BUCKETS: bucket size(s) {bad} must "
+                    f"be positive multiples of {tile} (the attention patch "
+                    f"/ conv tile of this model config)")
         else:
             self._point_buckets = tuple(sorted({
                 max(self.num_points // 4, 256), self.num_points // 2,

@@ -40,12 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+from robot3dlotus_tpu.ops.kernel_precision import kernel_dot_precision
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale):
     v = v_ref[0, 0]
     a = _probs(q_ref, k_ref, m_ref, scale)     # (P, P) on the MXU
     o_ref[0, 0] = jax.lax.dot_general(         # (P, Dh)
         a.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=kernel_dot_precision(v),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -171,6 +175,7 @@ def _attn_drop_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, m_ref, o_ref, *,
     v = v_ref[0, 0]
     o_ref[0, 0] = jax.lax.dot_general(
         a.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=kernel_dot_precision(v),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 

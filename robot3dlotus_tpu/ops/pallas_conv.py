@@ -49,6 +49,7 @@ import flax.struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_precision import kernel_dot_precision
 from .sparse_conv import NeighborMap, build_neighbor_map
 from .serialization import z_order_encode
 
@@ -229,27 +230,66 @@ def window_map_from_nmap(nmap: NeighborMap, halo: int = 256,
 # kernel
 # --------------------------------------------------------------------------
 
-def _choose_tap_chunk(K, cin, cout, itemsize, budget=3 * 1024 * 1024):
-    """Taps per grid step: the largest divisor of K whose weight chunk
-    (KB, Cin, Cout) fits `budget` VMEM (Mosaic double-buffers grid-indexed
-    blocks, so the live footprint is ~2x this). Chunking exists because a
-    (B, T, K) grid pays the fixed per-step pipeline cost K times per tile —
-    profiled at ~0.4 us/step, that was ~70% of the release CPE conv time
-    (grid 16*32*27 = 13824 steps) and ~90% of the k=125 stem."""
-    best = 1
-    for kb in range(K, 0, -1):
-        if K % kb == 0 and kb * cin * cout * itemsize <= budget:
-            return kb
-    return best
+def _tap_layout(K, cin, cout, itemsize, budget=int(4.5 * 1024 * 1024)):
+    """Mosaic-legal (Kp, KB, CB) chunking of the (K, Cin, Cout) weight.
+
+    The rel block is (1, 1, KB, P) and the weight block (KB, Cin, CB);
+    Mosaic requires the last two block dims to be (8, 128)-divisible or
+    equal to the array dims (lowering.py _check_block_mappings — the r03
+    bench crash). Legal KB is therefore K itself (block == array dim) or a
+    multiple of 8; K = 27/125 has no multiple-of-8 divisor, so when the
+    whole-K weight chunk exceeds `budget` VMEM the tap axis is padded to
+    Kp = ceil(K/8)*8 (padded rel = -1 gathers zeros; padded weight rows are
+    zero) and KB ranges over multiple-of-8 divisors of Kp. When even KB=8
+    is over budget (wide channels, e.g. 768x768), the output channel axis
+    is split into CB-wide grid blocks (CB a multiple-of-128 divisor of
+    Cout, or Cout itself).
+
+    Chunking exists because a (B, T, K) grid pays the fixed per-step
+    pipeline cost K times per tile — profiled at ~0.4 us/step, that was
+    ~70% of the release CPE conv time and ~90% of the k=125 stem — so
+    among legal layouts we maximize per-step work KB*CB (weight HBM
+    traffic is layout-invariant: steps x block = Kp*Cin*Cout either way).
+    Mosaic double-buffers grid-indexed blocks, so the live footprint is
+    ~2x `budget`; 2*4.5 MB + the (Wn, Cin) window scratch (<2 MB at 768
+    fp32) stays well under the ~16 MB VMEM/core."""
+    if K * cin * cout * itemsize <= budget:
+        return K, K, cout  # whole-K block: legal (== array dim), no pad
+    kp = -(-K // 8) * 8
+    kbs = [kb for kb in range(8, kp + 1, 8) if kp % kb == 0]
+    cbs = [cb for cb in range(128, cout, 128) if cout % cb == 0] + [cout]
+    best = None
+    for kb in kbs:
+        for cb in cbs:
+            if kb * cin * cb * itemsize > budget:
+                continue
+            if best is None or kb * cb > best[0] * best[1]:
+                best = (kb, cb)
+    if best is None:  # correctness over budget: smallest legal chunk
+        best = (8, min(cbs))
+    return kp, best[0], best[1]
+
+
+def _pad_taps(rel, weight, kp):
+    """Pad the tap axis K -> kp: rel -1 (one-hot matches no window row, so
+    gathers zeros) and weight zeros, keeping padded-tap contributions 0."""
+    K = weight.shape[0]
+    if kp == K:
+        return rel, weight
+    rel = jnp.pad(rel, ((0, 0), (0, 0), (0, kp - K), (0, 0)),
+                  constant_values=-1)
+    weight = jnp.pad(weight, ((0, kp - K), (0, 0), (0, 0)))
+    return rel, weight
 
 
 def _conv_kernel(rel_ref, w_ref, feat_hbm, out_ref, window, sem, *,
                  tile, halo, wn, n, kb):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    kc = pl.program_id(2)
+    co = pl.program_id(2)
+    kc = pl.program_id(3)
 
-    @pl.when(kc == 0)
+    @pl.when((co == 0) & (kc == 0))
     def _():
         start = jnp.clip(t * tile - halo, 0, max(n - wn, 0))
         # every reachable value (0, t*P-H, n-wn) is a multiple of the tile
@@ -260,6 +300,9 @@ def _conv_kernel(rel_ref, w_ref, feat_hbm, out_ref, window, sem, *,
             feat_hbm.at[b, pl.ds(start, wn), :], window, sem)
         cp.start()
         cp.wait()
+
+    @pl.when(kc == 0)
+    def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     win = window[...]                                        # (Wn, Cin)
@@ -271,10 +314,12 @@ def _conv_kernel(rel_ref, w_ref, feat_hbm, out_ref, window, sem, *,
         gathered = jax.lax.dot_general(                      # (P, Cin)
             onehot.astype(win.dtype), win,
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=kernel_dot_precision(win),
             preferred_element_type=jnp.float32)
         contrib = jax.lax.dot_general(                       # (P, Cout)
             gathered.astype(w_ref.dtype), w_ref[j],
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=kernel_dot_precision(w_ref[j]),
             preferred_element_type=jnp.float32)
         acc = contrib if acc is None else acc + contrib
     out_ref[0] += acc.astype(out_ref.dtype)
@@ -298,28 +343,32 @@ def _windowed_core(feat_sorted, rel, weight, *, tile, halo, wn,
         feat_sorted = jnp.pad(feat_sorted, ((0, 0), (0, 0), (0, pad)))
         weight = jnp.pad(weight, ((0, 0), (0, pad), (0, 0)))
         Cin += pad
-    KB = _choose_tap_chunk(K, Cin, Cout, weight.dtype.itemsize)
+    KP, KB, CB = _tap_layout(K, Cin, Cout, weight.dtype.itemsize)
+    rel, weight = _pad_taps(rel, weight, KP)
     kern = functools.partial(_conv_kernel, tile=tile, halo=halo, wn=wn, n=N,
                              kb=KB)
     flops = 2 * B * T * K * (P * wn * Cin + P * Cin * Cout)
     out = pl.pallas_call(
         kern,
-        grid=(B, T, K // KB),
+        # kc innermost so each output block's revisits are consecutive
+        # (accumulation stays VMEM-resident between them)
+        grid=(B, T, Cout // CB, KP // KB),
         in_specs=[
             # one (KB, P) tap-chunk block per grid step: Mosaic wants the
             # last two block dims (8,128)-aligned or equal to the array
-            # dims; chunking taps raises per-step work so the fixed
-            # pipeline cost amortizes (see _choose_tap_chunk)
-            pl.BlockSpec((1, 1, KB, P), lambda b, t, kc: (b, t, kc, 0),
+            # dims (KB is a multiple of 8 after _pad_taps, or == K);
+            # chunking taps raises per-step work so the fixed pipeline
+            # cost amortizes (see _tap_layout)
+            pl.BlockSpec((1, 1, KB, P), lambda b, t, co, kc: (b, t, kc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KB, Cin, Cout), lambda b, t, kc: (kc, 0, 0),
+            pl.BlockSpec((KB, Cin, CB), lambda b, t, co, kc: (kc, 0, co),
                          memory_space=pltpu.VMEM),
             # keep features in HBM explicitly: under pl.ANY the compiler
             # may promote them to VMEM with 128-lane tiling, and the halo
             # DMA slice is then misaligned for Cin < 128
             pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, P, Cout), lambda b, t, kc: (b, t, 0),
+        out_specs=pl.BlockSpec((1, P, CB), lambda b, t, co, kc: (b, t, co),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, Cout), jnp.float32),
         scratch_shapes=[
@@ -376,13 +425,13 @@ def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
 def _dw_kernel(rel_ref, g_ref, feat_hbm, dw_ref, window, sem, *,
                tile, halo, wn, n, kb):
     """dW[k] += gather(window, rel_k)^T @ g_tile for each tap k of this
-    chunk, accumulated across the whole (b, t) sweep. Grid is (KC, B, T)
-    with the tap chunk OUTERMOST so the dW blocks for the chunk stay
+    chunk, accumulated across the whole (b, t) sweep. Grid is (CO, KC, B, T)
+    with the chunk indices OUTERMOST so the dW block for the chunk stays
     VMEM-resident while every window streams through; the window DMA
-    re-issues per step (compute is ~Cin MACs per DMA'd byte, so the copy
+    re-issues per step (compute is ~2*P MACs per DMA'd byte, so the copy
     hides under the MXU on any healthy part)."""
-    b = pl.program_id(1)
-    t = pl.program_id(2)
+    b = pl.program_id(2)
+    t = pl.program_id(3)
 
     @pl.when((b == 0) & (t == 0))
     def _():
@@ -405,6 +454,7 @@ def _dw_kernel(rel_ref, g_ref, feat_hbm, dw_ref, window, sem, *,
         gathered = jax.lax.dot_general(                      # (P, Cin)
             onehot.astype(win.dtype), win,
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=kernel_dot_precision(win),
             preferred_element_type=jnp.float32)
         dw_ref[j] += jax.lax.dot_general(                    # (Cin, Cout)
             gathered, g,
@@ -426,25 +476,28 @@ def _dw_windowed(feat_sorted, g_sorted, rel, *, tile, halo, wn,
         Cin += pad
     # the dW chunk is fp32 (itemsize 4) and stays resident across the whole
     # (b, t) sweep rather than double-buffering, same budget as the forward
-    KB = _choose_tap_chunk(K, Cin, Cout, 4)
+    KP, KB, CB = _tap_layout(K, Cin, Cout, 4)
+    if KP != K:  # padded rel taps are -1: they gather zeros into dw rows
+        rel = jnp.pad(rel, ((0, 0), (0, 0), (0, KP - K), (0, 0)),
+                      constant_values=-1)
     kern = functools.partial(_dw_kernel, tile=tile, halo=halo, wn=wn, n=N,
                              kb=KB)
     dw = pl.pallas_call(
         kern,
-        grid=(K // KB, B, T),
+        grid=(Cout // CB, KP // KB, B, T),
         in_specs=[
             # (KB, P) tap-chunk block per (b, t) — same Mosaic alignment
             # rule as the forward (last two block dims must be
             # (8,128)-aligned or equal to the array dims)
-            pl.BlockSpec((1, 1, KB, P), lambda kc, b, t: (b, t, kc, 0),
+            pl.BlockSpec((1, 1, KB, P), lambda co, kc, b, t: (b, t, kc, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, Cout), lambda kc, b, t: (b, t, 0),
+            pl.BlockSpec((1, P, CB), lambda co, kc, b, t: (b, t, co),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM if not interpret else pl.ANY),
         ],
-        out_specs=pl.BlockSpec((KB, Cin, Cout), lambda kc, b, t: (kc, 0, 0),
+        out_specs=pl.BlockSpec((KB, Cin, CB), lambda co, kc, b, t: (kc, 0, co),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, Cin, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((KP, Cin, Cout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((wn, Cin), feat_sorted.dtype),
             pltpu.SemaphoreType.DMA,
@@ -456,7 +509,7 @@ def _dw_windowed(feat_sorted, g_sorted, rel, *, tile, halo, wn,
             transcendentals=0),
         interpret=interpret,
     )(rel, g_sorted, feat_sorted)
-    return dw[:, :cin0, :]
+    return dw[:K, :cin0, :]
 
 
 def _dw_far(feat_sorted, g_sorted, wmap: WindowMap, K):

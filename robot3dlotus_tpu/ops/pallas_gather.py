@@ -42,6 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from robot3dlotus_tpu.ops.kernel_precision import kernel_dot_precision
+
 # per-cloud feature bytes above which we fall back to XLA (x + fp32 dx +
 # one-hot must fit VMEM together with double-buffered tiles)
 _VMEM_BUDGET_BYTES = 6 * 1024 * 1024
@@ -98,6 +100,7 @@ def _fwd_kernel(idx_ref, x_ref, o_ref):
     o_ref[0] = jax.lax.dot_general(
         onehot.astype(x.dtype), x,
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=kernel_dot_precision(x),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
@@ -221,6 +224,7 @@ def _smallc_kernel(idx_ref, x_ref, o_ref, *, s, c):
     y = jax.lax.dot_general(                                # (P, C*128)
         onehot_hi.astype(xr.dtype), xr,
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=kernel_dot_precision(xr),
         preferred_element_type=jnp.float32)
     # xr is C-major within each hi block: column j holds channel j // 128
     # of in-block row j % 128

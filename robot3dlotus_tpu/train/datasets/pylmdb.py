@@ -89,8 +89,8 @@ class LmdbFileReader:
 
     # -- format --
 
-    def _meta_at(self, pgno):
-        off = pgno * PAGE_SIZE  # meta pages are always at the default size
+    def _meta_at(self, pgno, psize=PAGE_SIZE):
+        off = pgno * psize  # meta 1 sits at the ENV's page size, not 4096
         pgno_, _, flags, _, _ = _PGHDR.unpack_from(self._mm, off)
         if not flags & P_META:
             raise LmdbFormatError(f"page {pgno}: not a meta page")
@@ -111,7 +111,15 @@ class LmdbFileReader:
 
     def _pick_meta(self):
         t0, p0, db0 = self._meta_at(0)
-        t1, p1, db1 = self._meta_at(1)
+        # meta page 1 lives one ENV page in — discover the page size from
+        # meta 0 first so non-default-psize environments parse (or fail
+        # with a message naming the page size, not 'bad magic')
+        try:
+            t1, p1, db1 = self._meta_at(1, p0)
+        except LmdbFormatError as e:
+            raise LmdbFormatError(
+                f"meta page 1 unreadable at page size {p0} "
+                f"({e}) — corrupt or unsupported environment") from e
         return (p1, db1) if t1 > t0 else (p0, db0)
 
     def _page(self, pgno):

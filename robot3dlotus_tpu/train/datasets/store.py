@@ -193,6 +193,7 @@ class LmdbWriterStore:
         self.map_size = map_size
         self._envs = {}
         self._pending = {}  # pure-writer buffers: taskvar -> {key: bytes}
+        self._flushed = set()  # pure-writer: taskvars already on disk
         os.makedirs(root, exist_ok=True)
 
     def _env(self, taskvar):
@@ -204,7 +205,17 @@ class LmdbWriterStore:
     def put(self, taskvar: str, episode: str, record) -> None:
         if self._lmdb is None:
             # single-commit writer: buffer per taskvar, flush whenever the
-            # (taskvar-major) producer moves on — bounds RAM to one taskvar
+            # (taskvar-major) producer moves on — bounds RAM to one taskvar.
+            # write_lmdb replaces the whole env, so revisiting a flushed
+            # taskvar would silently drop its earlier episodes: enforce the
+            # taskvar-major contract instead of assuming it
+            if taskvar in self._flushed:
+                raise ValueError(
+                    f"LmdbWriterStore (pure-Python path): taskvar "
+                    f"{taskvar!r} was already flushed to disk; writes must "
+                    f"be taskvar-major (group all episodes of a taskvar "
+                    f"together), or use the real lmdb binding for "
+                    f"incremental writes")
             for done in [tv for tv in self._pending if tv != taskvar]:
                 self._flush(done)
             self._pending.setdefault(taskvar, {})[
@@ -218,6 +229,7 @@ class LmdbWriterStore:
         from .pylmdb import write_lmdb
         write_lmdb(os.path.join(self.root, taskvar),
                    self._pending.pop(taskvar))
+        self._flushed.add(taskvar)
 
     def close(self):
         for env in self._envs.values():

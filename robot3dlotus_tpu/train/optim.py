@@ -283,24 +283,32 @@ def build_optimizer(params, train_cfg):
             lr_decay_gamma=train_cfg.get("lr_decay_gamma"),
         )
 
+    # optax's update count is 0-based (the k-th update sees count = k-1);
+    # the reference evaluates the schedule at its 1-based global_step
+    # (train_simple_policy.py:227-229 increments BEFORE setting the lr), so
+    # the transformation sees count+1. The returned `schedule` stays
+    # step-in = the 1-based step the driver logs with.
+    def tx_schedule(count):
+        return schedule(count + 1)
+
     opt_name = train_cfg.get("optim", "adamw")
     mask_tree = decay_mask(params)
     if opt_name == "adamw":
-        core = optax.adamw(schedule, b1=betas[0], b2=betas[1],
+        core = optax.adamw(tx_schedule, b1=betas[0], b2=betas[1],
                            weight_decay=wd, mask=mask_tree)
     elif opt_name == "adam":
-        core = optax.adam(schedule, b1=betas[0], b2=betas[1])
+        core = optax.adam(tx_schedule, b1=betas[0], b2=betas[1])
     elif opt_name == "adamax":
-        core = optax.adamax(schedule, b1=betas[0], b2=betas[1])
+        core = optax.adamax(tx_schedule, b1=betas[0], b2=betas[1])
     elif opt_name == "radam":
         core = optax.chain(
             scale_by_radam_ref(b1=betas[0], b2=betas[1], weight_decay=wd,
                                decay_mask_tree=mask_tree),
-            optax.scale_by_learning_rate(schedule))
+            optax.scale_by_learning_rate(tx_schedule))
     elif opt_name in ("ralamb", "rangerlars"):
         core = scale_by_ralamb_ref(
             b1=betas[0], b2=betas[1], weight_decay=wd,
-            lr_fn=schedule, decay_mask_tree=mask_tree)
+            lr_fn=tx_schedule, decay_mask_tree=mask_tree)
         if opt_name == "rangerlars":
             core = lookahead_ref(
                 core, alpha=float(train_cfg.get("lookahead_alpha", 0.5)),

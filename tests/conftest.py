@@ -34,7 +34,14 @@ import jax  # noqa: E402
 # their spawned children compile in-memory each process.
 os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 jax.config.update("jax_enable_compilation_cache", False)
-jax.config.update("jax_platforms", "cpu")
+# GRAFT_TEST_TPU=1 runs the suite against the attached TPU chip instead of
+# the virtual CPU mesh — this is how the TPU-marked tier (Mosaic kernel
+# shape sweep, dropout-in-kernel, smallc gather) executes on hardware each
+# round (VERDICT r03 items 2 and 8). Everything else still passes there,
+# but CPU remains the default: tiny-model compiles are much faster and the
+# multi-host subprocess tests need the virtual mesh.
+if not os.environ.get("GRAFT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 # 8 virtual devices in THIS process only (jax.config, not XLA_FLAGS env):
 # mesh/sharding tests exercise multi-chip logic, while spawned subprocesses
 # (eval-server producers/consumers) inherit a plain 1-device CPU client —
