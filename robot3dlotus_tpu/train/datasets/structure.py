@@ -24,6 +24,15 @@ every per-stage occupancy-table build (models/ptv3.py __call__/_make_aux).
 Not used under sequence parallelism: stem_nmap indexes each row's local
 point axis, which an sp-sharded layout splits (the driver attaches
 structure only when mesh.sp == 1).
+
+Stochasticity note: one order permutation is drawn PER BATCH and reused
+across every pooling stage — the shipped cpe_nmap{s} cascade is only valid
+in the unshuffled child frame (children inherit the parent's sort), so the
+reference's per-stage redraw (SerializedPooling, model.py:220-224) cannot
+be replayed without re-sorting every stage on device. Across training
+steps each stage still sees every curve uniformly; only the within-step,
+across-stage decorrelation differs. TRAIN.host_structure=False restores
+the reference recipe exactly (see train/driver.py).
 """
 from __future__ import annotations
 

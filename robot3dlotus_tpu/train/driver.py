@@ -131,6 +131,17 @@ def run_training(config, spec: TaskSpec):
     # PrefetchToDevice) instead of the device's scalar unit. Disabled under
     # sequence parallelism: stem_nmap indexes the full local point axis,
     # which an sp-sharded layout splits.
+    #
+    # Stochasticity trade-off vs the reference recipe: with host structure,
+    # ONE order permutation is drawn per batch and reused by every stage
+    # (the precomputed CPE maps are only valid in the unshuffled pooling
+    # cascade), whereas the reference's SerializedPooling redraws the
+    # permutation after each pooling (model.py:220-224). The per-batch draw
+    # still randomizes which curve every stage's blocks see across steps —
+    # only the within-step, across-stage decorrelation is lost. Set
+    # TRAIN.host_structure=False to recover the reference's per-stage
+    # redraw at the cost of on-device sorts (~2x step time at the release
+    # shape, BENCH_NOTES round 3).
     if bool(config.TRAIN.get("host_structure", True)) and \
             (mesh is None or mesh.shape.get("sp", 1) == 1):
         from .datasets.structure import (
