@@ -120,19 +120,53 @@ def tp_leaf_spec(path, leaf, tp_size: int) -> P:
     return P()
 
 
-def state_shardings(state, mesh: Mesh):
+def zero1_leaf_spec(path, leaf, mesh: Mesh) -> P:
+    """ZeRO-1 spec for one OPTIMIZER-STATE leaf: the TP rules first (moments
+    shard with their parameter), then the largest still-unsharded dim that
+    the dp axis divides is sharded over 'dp'. Leaves with no dp-divisible
+    dim stay at their TP spec (replicated over dp) — correct, just unsharded.
+    """
+    tp_size = mesh.shape.get("tp", 1)
+    dp = mesh.shape.get("dp", 1)
+    ndim = getattr(leaf, "ndim", 0)
+    base = tuple(tp_leaf_spec(path, leaf, tp_size))
+    spec = list(base) + [None] * (ndim - len(base))
+    if dp > 1 and ndim:
+        for d in sorted(range(ndim), key=lambda d: -leaf.shape[d]):
+            if spec[d] is None and leaf.shape[d] % dp == 0:
+                spec[d] = "dp"
+                break
+    while spec and spec[-1] is None:  # P(None) != P() under equality
+        spec.pop()
+    return P(*spec)
+
+
+def state_shardings(state, mesh: Mesh, zero1: bool = True):
     """NamedSharding pytree for a TrainState (params + optimizer mirrors).
 
     Optimizer moments (adam mu/nu, lookahead slow weights) carry the same
     path tails as their parameters, so one path-suffix rule set shards
     master params and moments consistently — the analogue of ZeRO-free
     Megatron TP where optimizer state lives with the shard.
+
+    zero1 (default on): optimizer-state leaves additionally shard over the
+    'dp' axis (zero1_leaf_spec) — the ZeRO-1 / reduce-scatter formulation.
+    Params stay dp-replicated; GSPMD then lowers the gradient reduction as
+    reduce-scatter into the moment shards and one all-gather of the applied
+    update, the standard TPU data-parallel recipe (same bytes on the wire
+    as the all-reduce it replaces, 1/dp the optimizer memory and update
+    FLOPs). Inference trees (no opt_state paths) are unaffected.
     """
     tp_size = mesh.shape.get("tp", 1)
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(
-            mesh, tp_leaf_spec(path, leaf, tp_size)),
-        state)
+    zero = zero1 and mesh.shape.get("dp", 1) > 1
+
+    def leaf_sharding(path, leaf):
+        if zero and path and _path_str(path[:1]) == "opt_state" \
+                and getattr(leaf, "ndim", 0) >= 1:
+            return NamedSharding(mesh, zero1_leaf_spec(path, leaf, mesh))
+        return NamedSharding(mesh, tp_leaf_spec(path, leaf, tp_size))
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
 
 
 def shard_variables(variables, mesh: Mesh):

@@ -207,7 +207,10 @@ def run_training(config, spec: TaskSpec):
         save_training_meta(output_dir, config)
     saver = ModelSaver(output_dir)
 
-    step_fn = make_train_step(model, loss_fn, mesh=mesh)
+    # state= pins the step's output layout to the committed one — required
+    # under ZeRO-1 so the dp-sharded moments can't leak their layout onto
+    # the updated (replicated) params (see make_train_step docstring)
+    step_fn = make_train_step(model, loss_fn, mesh=mesh, state=state)
 
     # ---- validation setup (reference train_simple_policy.py:256-265) ----
     val_cfg = dict(config.get("VAL_DATASET", {}) or {})

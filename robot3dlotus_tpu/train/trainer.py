@@ -79,7 +79,8 @@ def init_variables(model, sample_batch, rng, shrink=True):
                    sample_batch)
 
 
-def create_train_state(model, sample_batch, train_cfg, rng, mesh=None):
+def create_train_state(model, sample_batch, train_cfg, rng, mesh=None,
+                       zero1=True):
     variables = init_variables(model, sample_batch, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax.core.freeze({}))
@@ -87,15 +88,28 @@ def create_train_state(model, sample_batch, train_cfg, rng, mesh=None):
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)
     if mesh is not None:
-        # DP-replicated by default; when the mesh has a tp axis > 1 the
+        # DP-replicated params; when the mesh has a tp axis > 1 the
         # Megatron column/row rules (parallel/mesh.py) shard the MLP and
-        # CPE weight pairs (and their adam moments) over it.
-        state = jax.device_put(state, state_shardings(state, mesh))
+        # CPE weight pairs (and their adam moments) over it; with zero1
+        # (default) the optimizer moments additionally shard over 'dp'
+        # (ZeRO-1 — 1/dp the optimizer memory and update compute).
+        state = jax.device_put(state, state_shardings(state, mesh,
+                                                      zero1=zero1))
     return state, schedule
 
 
-def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
-    """loss_fn(preds, batch) -> dict with 'total'."""
+def make_train_step(model, loss_fn: Callable, mesh=None, donate=True,
+                    state=None):
+    """loss_fn(preds, batch) -> dict with 'total'.
+
+    state: pass the committed TrainState to PIN the step's output state to
+    the input layout (out_shardings from each leaf's sharding). Required
+    for ZeRO-1: without the pin, sharding propagation from the dp-sharded
+    optimizer moments can leak a dp-sharded layout onto the UPDATED params
+    (XLA picks output shardings freely), silently breaking the
+    replicated-params contract and the donation match. With it, every step
+    consumes and produces the exact same layout.
+    """
 
     def step(state: TrainState, batch, rng):
         drng, srng = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -118,12 +132,17 @@ def make_train_step(model, loss_fn: Callable, mesh=None, donate=True):
     if mesh is not None:
         # State sharding is inherited from the arrays create_train_state
         # placed (replicated for pure DP; Megatron col/row-sharded leaves
-        # when the mesh has a tp axis). The batch's sharding is inherited
-        # too: shard_batch commits each leaf to its dp(×sp) layout, and an
-        # unspecified in_sharding lets jit honor that committed placement
-        # instead of forcing a dp-only reshard (which would undo the
-        # point-axis sp sharding of the cloud tensors).
-        return jax.jit(step, out_shardings=(None, None),
+        # when the mesh has a tp axis; dp-sharded moments under ZeRO-1) —
+        # and pinned on the output when `state` is provided (see above).
+        # The batch's sharding is inherited too: shard_batch commits each
+        # leaf to its dp(×sp) layout, and an unspecified in_sharding lets
+        # jit honor that committed placement instead of forcing a dp-only
+        # reshard (which would undo the point-axis sp sharding of the
+        # cloud tensors).
+        out_state = None
+        if state is not None:
+            out_state = jax.tree_util.tree_map(lambda l: l.sharding, state)
+        return jax.jit(step, out_shardings=(out_state, None),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
