@@ -171,9 +171,12 @@ class KeystepDataset:
         return rng.randn(4, self.txt_embed_dim).astype(np.float32)
 
     def _rm_outliers(self, xyz, rgb):
-        from sklearn.neighbors import LocalOutlierFactor
-        clf = LocalOutlierFactor(n_neighbors=self.rm_pc_outliers_neighbors)
-        keep = clf.fit_predict(xyz) == 1
+        # in-repo LOF (utils/neighbors.py), sklearn-parity tested; the
+        # reference used sklearn.neighbors.LocalOutlierFactor
+        # (simple_policy_dataset.py:141-143)
+        from ...utils.neighbors import local_outlier_factor_mask
+        keep = local_outlier_factor_mask(
+            xyz, n_neighbors=self.rm_pc_outliers_neighbors)
         return xyz[keep], rgb[keep]
 
     def get_episode_samples(self, taskvar, episode, rng=None) -> List[Dict]:

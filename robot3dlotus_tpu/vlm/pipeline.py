@@ -62,10 +62,8 @@ def remove_statistical_outliers_np(xyz, nb_neighbors=50, std_ratio=0.2):
     """kNN mean-distance filter (o3d remove_statistical_outlier equivalent)."""
     if len(xyz) <= nb_neighbors:
         return np.ones(len(xyz), bool)
-    from sklearn.neighbors import NearestNeighbors
-    nn = NearestNeighbors(n_neighbors=nb_neighbors + 1).fit(xyz)
-    d, _ = nn.kneighbors(xyz)
-    mean_d = d[:, 1:].mean(1)
+    from ..utils.neighbors import knn_dists
+    mean_d = knn_dists(xyz, nb_neighbors).mean(1)
     mu, sigma = mean_d.mean(), mean_d.std()
     return mean_d <= mu + std_ratio * sigma
 
@@ -180,7 +178,9 @@ class VLMPipeline:
     def merge_multiview_objects(self, det_image_outputs, det_results,
                                 sam_results, rgb_images, pcd_images,
                                 robot_box):
-        from sklearn.cluster import DBSCAN
+        # in-repo DBSCAN (utils/neighbors.py), exact sklearn label parity;
+        # the reference used sklearn.cluster.DBSCAN (vlm_pipeline.py:376-379)
+        from ..utils.neighbors import dbscan_labels
         import collections
 
         cfg = self.vlm_config
@@ -222,18 +222,18 @@ class VLMPipeline:
                                           2):
                     continue
 
-                clustering = DBSCAN(
+                labels = dbscan_labels(
+                    obj.pcd_xyz,
                     eps=cfg.dbscan_config["eps"],
-                    min_samples=cfg.dbscan_config["min_samples"],
-                ).fit(obj.pcd_xyz)
-                counter = collections.Counter(clustering.labels_)
+                    min_samples=cfg.dbscan_config["min_samples"])
+                counter = collections.Counter(labels)
                 num_clusters = len([l for l in counter if l != -1])
                 if num_clusters > 1:
                     for label, npts in counter.items():
                         if label != -1 and npts / len(obj.pcd_xyz) > \
                                 cfg.dbscan_config["min_keep_ratio"]:
                             part = copy.deepcopy(obj)
-                            pm = clustering.labels_ == label
+                            pm = labels == label
                             part.pcd_xyz = obj.pcd_xyz[pm]
                             part.pcd_rgb = obj.pcd_rgb[pm]
                             if len(part.pcd_xyz) > cfg.pcd_min_num_points:
@@ -284,16 +284,16 @@ class VLMPipeline:
             # re-attach obstacle fragments to their closest object
             if self.env_name == "rlbench" and len(obstacle.pcd_xyz) >= \
                     cfg.dbscan_config["min_samples"]:
-                clustering = DBSCAN(
+                labels = dbscan_labels(
+                    obstacle.pcd_xyz,
                     eps=cfg.dbscan_config["eps"],
-                    min_samples=cfg.dbscan_config["min_samples"],
-                ).fit(obstacle.pcd_xyz)
-                counter = collections.Counter(clustering.labels_)
+                    min_samples=cfg.dbscan_config["min_samples"])
+                counter = collections.Counter(labels)
                 om = np.ones(len(obstacle.pcd_xyz), bool)
                 for label, npts in counter.items():
                     if label == -1:
                         continue
-                    pm = clustering.labels_ == label
+                    pm = labels == label
                     if pm.mean() < 0.1:
                         continue
                     dists = [min_pair_distance_np(obstacle.pcd_xyz[pm],
