@@ -278,8 +278,11 @@ class Actioner:
             np.clip(gc, 0, (1 << depth) - 1, out=gc)
             grid[b, :n] = gc
             codes[b, :n] = sfc_encode_np(gc, order0, depth)
+        # with_far=False: the packed int16 buffer ships only the stencil
+        # maps; at B=1 the device's own per-tap far compaction is cheap and
+        # keeps the host off the latency-critical path
         maps = build_structure_maps(grid, codes, counts, self._struct_cfg,
-                                    depth=depth)
+                                    depth=depth, with_far=False)
         return np.concatenate(
             [maps[key].reshape(B, -1) for key, _, _ in
              self._struct_segments(N)], axis=1)

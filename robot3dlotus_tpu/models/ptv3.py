@@ -56,14 +56,19 @@ from .layers import (
 def host_structure_kwargs(batch):
     """Collect the loader-shipped structure keys (train/datasets/
     structure.py) into PointTransformerV3TPU call kwargs: order_perm,
-    stem_nmap, and the per-stage cpe_nmap{s} cascade."""
-    maps, s = [], 0
+    stem_nmap, the per-stage cpe_nmap{s} cascade, and the per-stage
+    windowed-conv far lists cpe_far{s} (absent for full-window stages)."""
+    maps, fars, s = [], [], 0
     while f"cpe_nmap{s}" in batch:
         maps.append(batch[f"cpe_nmap{s}"])
+        far = batch.get(f"cpe_far{s}")
+        fars.append(None if far is None else
+                    (far, batch[f"cpe_far_dropped{s}"]))
         s += 1
     return {"order_perm": batch.get("order_perm"),
             "stem_nmap": batch.get("stem_nmap"),
-            "cpe_nmaps": tuple(maps) if maps else None}
+            "cpe_nmaps": tuple(maps) if maps else None,
+            "cpe_fars": tuple(fars) if maps else None}
 
 
 def _take_rows(x, order):
@@ -197,9 +202,28 @@ class PointTransformerV3TPU(nn.Module):
     # enables it on TPU backends. The k=5 stem always uses the XLA
     # streaming path (125-offset stencils have weaker window locality).
     conv_impl: str = "auto"
-    # sorted-order halo for the windowed conv; +-256 covers ~98% of
-    # 3x3x3-stencil links on 1 cm tabletop clouds (ops/pallas_conv.py)
-    conv_halo: int = 256
+    # sorted-order halo for the windowed conv: one int or a per-stage
+    # tuple. Small halos keep the one-hot window matmul cheap (its FLOPs
+    # scale with Wn = tile + 2*halo); links beyond the halo ride the
+    # k-grouped far path, whose per-link cost is ~2*Cin*Cout — cheaper
+    # than a near link whenever Cout < Wn — so a tight window + generous
+    # far capacity beats a wide window on measured tabletop clouds
+    # (ops/pallas_conv.py module docstring). Stages whose capacity is
+    # <= tile + 2*halo run one full-cloud window and skip the far pass.
+    # (release cascade: stages 3/4 have <= tile + 2*halo points, so they
+    # keep single full-cloud windows exactly as at the old halo=256).
+    # Defaults live in ops/pallas_conv.py (DEFAULT_CONV_HALO) so the host
+    # structure builder ships matching far lists.
+    conv_halo: Tuple[int, ...] | int = (64, 64, 64, 192, 192)
+    # per-tap static far-list capacity per stage (None = N/4 auto).
+    # Sized ~1.5x over the worst single-tap far count measured on
+    # realistic keystep-pipeline clouds at halo 64 (194/324/92/11/0 for
+    # the release cascade; stage 1 is the worst stage — pooling packs
+    # points 8x denser in grid space, so its sorted-order locality is
+    # poorest). Overflow is counted in the conv_far_dropped telemetry,
+    # never silent. One int applies to every stage.
+    conv_far_per_tap: Tuple[int, ...] | int | None = (
+        288, 480, 144, 8, 8)
     # dense occupancy-table neighbor lookup (ops/sparse_conv.py): voxel
     # coords must fit extent^3 (the release layout — xyz_shift 'center',
     # xyz_norm False, 1 cm voxels — spans ~100 cells; pooled stages only
@@ -253,6 +277,16 @@ class PointTransformerV3TPU(nn.Module):
             caps.append(max(caps[-1] // 2, min(self.enc_patch_size)))
         return caps
 
+    def _stage_knob(self, val, s):
+        """Per-stage int knob: tuples index by stage (last entry extends
+        to deeper stages so shorter tuples stay valid for any depth);
+        plain ints apply everywhere; None passes through."""
+        if val is None:
+            return None
+        if isinstance(val, (tuple, list)):
+            return int(val[min(s, len(val) - 1)])
+        return int(val)
+
     def _conv_windowed(self):
         """(use windowed pallas kernel, run it interpreted) for the CPE."""
         if self.conv_impl == "pallas":
@@ -274,7 +308,7 @@ class PointTransformerV3TPU(nn.Module):
         used.add(0)
         return sorted(used)
 
-    def _make_aux(self, cur, s, patch, host_nmap=None):
+    def _make_aux(self, cur, s, patch, host_nmap=None, host_far=None):
         """Per-stage attention/conv structures, built in the stage's sorted
         frame (frame position == rank in codes[0]). order/inverse entries
         are None for index 0 (the frame itself — no permute) and real
@@ -302,17 +336,28 @@ class PointTransformerV3TPU(nn.Module):
                              ok=host_nmap >= 0)
             if windowed:
                 from ..ops.pallas_conv import window_map_from_nmap
-                cpe_nmap = window_map_from_nmap(nm, halo=self.conv_halo)
+                fcap = self._stage_knob(self.conv_far_per_tap, s)
+                if host_far is not None and fcap is not None:
+                    assert host_far[0].shape[-2] == fcap, (
+                        f"stage {s}: host far capacity "
+                        f"{host_far[0].shape[-2]} != model conv_far_per_tap"
+                        f" {fcap} — host/model configs must agree (derive "
+                        f"both via structure_cfg_from_model)")
+                cpe_nmap = window_map_from_nmap(
+                    nm, halo=self._stage_knob(self.conv_halo, s),
+                    far_capacity=fcap, host_far=host_far)
             else:
                 cpe_nmap = nm
         elif windowed:
             from ..ops.pallas_conv import build_window_map
             # the stage frame IS a locality-preserving serialized order, so
             # the window map needs no sort of its own (presorted)
-            cpe_nmap = build_window_map(cur["grid_coord"], cur["mask"], 3,
-                                        cur["depth"], halo=self.conv_halo,
-                                        presorted=True,
-                                        extent=self.lookup_extent)
+            cpe_nmap = build_window_map(
+                cur["grid_coord"], cur["mask"], 3,
+                cur["depth"], halo=self._stage_knob(self.conv_halo, s),
+                far_capacity=self._stage_knob(self.conv_far_per_tap, s),
+                presorted=True,
+                extent=self.lookup_extent)
         else:
             cpe_nmap = build_neighbor_map(cur["grid_coord"], cur["mask"], 3,
                                           cur["depth"],
@@ -351,7 +396,8 @@ class PointTransformerV3TPU(nn.Module):
     def __call__(self, coord, feat, mask, counts, context=None,
                  context_mask=None, context_vec=None, deterministic=True,
                  return_dec_layers=True, stem_categorical=None,
-                 order_perm=None, stem_nmap=None, cpe_nmaps=None):
+                 order_perm=None, stem_nmap=None, cpe_nmaps=None,
+                 cpe_fars=None):
         """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
         counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
         context_vec: (B, ctx) vector for adaptive norms;
@@ -373,7 +419,12 @@ class PointTransformerV3TPU(nn.Module):
           cpe_nmaps: optional per-stage tuple of (B, cap_s, 27) int CPE
             stencil maps (or None entries) — the host replays the pooling
             cascade, so these are valid iff order_perm was supplied (the
-            frames match only in the host-presorted, unshuffled program)."""
+            frames match only in the host-presorted, unshuffled program).
+          cpe_fars: optional per-stage tuple of (far (B, K, Fk, 2) int16,
+            dropped (B,) int32) windowed-conv far lists (None for
+            full-window stages) — same builder, same frame caveat; the
+            shapes must match this model's conv_far_per_tap knobs
+            (checked in _make_aux)."""
         num_stages = len(self.enc_depths)
         B, N0, _ = feat.shape
         caps = self._stage_caps(N0)
@@ -480,11 +531,13 @@ class PointTransformerV3TPU(nn.Module):
             # host maps are valid only when the batch frame IS the host-
             # presorted frame: order_perm supplied (training) or an
             # assume_sorted model (the eval actioner presorts on host)
-            host_nmap = None
+            host_nmap = host_far = None
             if cpe_nmaps is not None and s < len(cpe_nmaps) and skip0:
                 host_nmap = cpe_nmaps[s]
+                if cpe_fars is not None and s < len(cpe_fars):
+                    host_far = cpe_fars[s]
             aux = self._make_aux(cur, s, self.enc_patch_size[s],
-                                 host_nmap=host_nmap)
+                                 host_nmap=host_nmap, host_far=host_far)
             cur["aux"] = aux
             if hasattr(aux["cpe_nmap"], "far_dropped"):
                 conv_far_dropped = conv_far_dropped + jnp.sum(

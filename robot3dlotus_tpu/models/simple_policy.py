@@ -154,7 +154,7 @@ _PTV3_FIELDS = {
     "scaled_cosine_attn", "pdnorm_only_decoder", "enable_rpe",
     "add_coords_in_attn", "serial_depth",
     "stem_kernel", "compute_dtype", "attn_impl", "conv_impl", "conv_halo",
-    "lookup_extent",
+    "conv_far_per_tap", "lookup_extent",
     "remat", "assume_sorted", "stage_caps",
 }
 

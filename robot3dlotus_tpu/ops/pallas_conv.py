@@ -20,11 +20,15 @@ Dataflow (exact, not approximate):
      (P, Wn) x (Wn, Cin) matmul on the MXU (a gather the MXU is happy to
      do), followed by the (P, Cin) x (Cin, Cout) stencil matmul, accumulated
      over the K grid dimension into the output block;
-  4. the rare out-of-window links (the remaining ~2%) are compacted into a
-     static-capacity list and applied by plain XLA gather + masked matmul +
-     segment-sum — cheap because the list is short. When the window covers
-     the whole cloud (pooled stages: N <= P + 2H) there are no far links
-     and the pass is skipped at trace time.
+  4. out-of-window links are compacted into per-tap static-capacity lists
+     (B, K, Fk) and applied by XLA gather + ONE batched matmul over the tap
+     axis + segment-sum. Grouping by tap makes a far link cost ~2*Cin*Cout
+     FLOPs (vs 2*Wn*Cin for a near link when Cout < Wn), so capacities can
+     be generous — real tabletop scans have a heavy SFC-jump tail (~20% of
+     links at halo 64) that the one-hot window should NOT pay for: shrinking
+     the halo and widening the far lists is the cheaper trade. When the
+     window covers the whole cloud (pooled stages: N <= P + 2H) there are
+     no far links and the pass is skipped at trace time.
 
 HBM traffic: the window DMAs re-read each sorted row (P+2H)/P ~ 5x, so
 ~5 * B*N*Cin contiguous bytes versus ~27 * B*N*Cin scattered bytes for the
@@ -60,7 +64,14 @@ class WindowMap:
 
     Array fields are pytree leaves (traced); tile/halo/window are static so
     they can shape the kernel grid.
-    """
+
+    Far links are grouped BY STENCIL TAP with a static per-tap capacity
+    (B, K, Fk): grouping turns the far correction into one batched matmul
+    (einsum over the k axis) instead of K weight-masked passes over a flat
+    list — 2*F*Cin*Cout FLOPs total rather than 2*K*F*Cin*Cout — which in
+    turn makes generous capacities affordable; real tabletop scans need
+    them (their SFC far-link tail is heavy: ~8.6k far links per 4096-point
+    cloud at halo 64, up to ~780 on a single tap)."""
     order: jnp.ndarray      # (B, N) int32: sorted slot -> original index,
     #                         or None when the caller's frame IS the sorted
     #                         frame (presorted=True) — no sort/unsort permute
@@ -69,10 +80,9 @@ class WindowMap:
     rel: jnp.ndarray        # (B, T, K, P) int32: window-relative neighbor
     #                         slot, or -1 when absent/far (one-hot of -1
     #                         matches no window row, so it gathers zeros)
-    far_src: jnp.ndarray    # (B, F) int32: sorted slot of the source point
-    far_dst: jnp.ndarray    # (B, F) int32: sorted slot of the destination
-    far_k: jnp.ndarray      # (B, F) int32: stencil offset index
-    far_ok: jnp.ndarray     # (B, F) bool
+    far_src: jnp.ndarray    # (B, K, Fk) int32: sorted slot of the source
+    far_dst: jnp.ndarray    # (B, K, Fk) int32: sorted slot of the dest
+    far_ok: jnp.ndarray     # (B, K, Fk) bool
     far_dropped: jnp.ndarray  # (B,) int32 telemetry: links beyond capacity
     nmap: NeighborMap       # original-order map (kept for diagnostics)
     tile: int = flax.struct.field(pytree_node=False)
@@ -80,11 +90,50 @@ class WindowMap:
     window: int = flax.struct.field(pytree_node=False)  # Wn = min(N, P+2H)
 
 
+# Release-cascade defaults, shared by the backbone config (models/ptv3.py)
+# and the host structure builder (train/datasets/structure.py) so the
+# device windows and the host-shipped far lists always agree. Halos sized
+# so the one-hot window stays tight (Wn = 256 at stages 0-2; stages 3/4
+# keep single full-cloud windows); per-tap far capacities ~1.5x the worst
+# single-tap far count measured on realistic keystep-pipeline clouds.
+DEFAULT_CONV_HALO = (64, 64, 64, 192, 192)
+DEFAULT_CONV_FAR_PER_TAP = (288, 480, 144, 8, 8)
+
+
 def _choose_tile(n: int) -> int:
     for p in (128, 64, 32, 16, 8):
         if n % p == 0:
             return min(p, n)
     return n
+
+
+def _auto_far_per_tap(n: int) -> int:
+    """Default per-tap far capacity: N/4 rounded up to 8 (max single-tap
+    far count measured on dense tabletop scans at halo 64 is ~N/5 — the
+    SFC jump tail concentrates on the corner taps), floored at 8."""
+    return min(n, max(8, -(-n // 4 // 8) * 8))
+
+
+def _compact_far_per_tap(q, ok, near, fk: int):
+    """Group out-of-window links by stencil tap with static capacity.
+
+    q, ok, near: (B, N, K) neighbor slots / validity / in-window flags.
+    Returns far_src, far_dst: (B, K, Fk) int32, far_ok: (B, K, Fk) bool,
+    far_dropped: (B,) int32. Within each tap, destinations come out in
+    ascending slot order (top_k over descending position keys), so the
+    per-tap lists are deterministic and cache-friendly to gather."""
+    B, N, K = q.shape
+    fk = min(fk, N)
+    far = (ok & ~near).transpose(0, 2, 1)                    # (B, K, N)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    vals, _ = jax.lax.top_k(jnp.where(far, N - pos, 0), fk)  # (B, K, Fk)
+    far_ok = vals > 0
+    far_dst = jnp.where(far_ok, N - vals, 0).astype(jnp.int32)
+    far_src = jnp.take_along_axis(q.transpose(0, 2, 1), far_dst, axis=-1)
+    far_src = jnp.where(far_ok, far_src, 0).astype(jnp.int32)
+    far_dropped = (jnp.sum(far, axis=(-1, -2)) -
+                   jnp.sum(far_ok, axis=(-1, -2))).astype(jnp.int32)
+    return far_src, far_dst, far_ok, far_dropped
 
 
 def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
@@ -117,8 +166,7 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
     T = N // P
     Wn = min(N, P + 2 * halo)
     if far_capacity is None:
-        # measured far fraction is ~2% of N*K at H=256; N//2 is ~4x headroom
-        far_capacity = max(P, N // 2)
+        far_capacity = _auto_far_per_tap(N)
     F = 1 if Wn == N else far_capacity  # no far links possible at Wn == N
 
     if sort_order is not None:
@@ -157,46 +205,39 @@ def build_window_map(grid_coord, mask, kernel_size: int, depth: int,
     rel = jnp.where(near, rel, -1).astype(jnp.int32)
     rel = rel.reshape(B, T, P, K).transpose(0, 1, 3, 2)          # (B,T,K,P)
 
-    # compact the far links: top_k over (far ? NK - i : 0) yields the first
-    # F far positions in order — same stable-compaction semantics as an
-    # argsort with far-first keys, at O(NK log F) instead of a full sort
-    NK = N * K
-    F = min(F, NK)
-    far = (ok & ~near).reshape(B, NK)
-    lin = jnp.arange(NK, dtype=jnp.int32)[None, :]
-    vals, _ = jax.lax.top_k(jnp.where(far, NK - lin, 0), F)      # (B, F)
-    far_ok = vals > 0
-    fidx = jnp.where(far_ok, NK - vals, 0)
-    far_dst = (fidx // K).astype(jnp.int32)
-    far_k = (fidx % K).astype(jnp.int32)
-    far_src = jnp.take_along_axis(
-        q.reshape(B, NK), fidx, axis=-1).astype(jnp.int32)
-    far_src = jnp.where(far_ok, far_src, 0)
-    far_dropped = (jnp.sum(far, axis=-1) - jnp.sum(far_ok, axis=-1)
-                   ).astype(jnp.int32)
+    far_src, far_dst, far_ok, far_dropped = _compact_far_per_tap(
+        q, ok, near, F)
 
     return WindowMap(order=order, inverse=inverse, rel=rel,
-                     far_src=far_src, far_dst=far_dst, far_k=far_k,
+                     far_src=far_src, far_dst=far_dst,
                      far_ok=far_ok, far_dropped=far_dropped, nmap=nmap,
                      tile=P, halo=halo, window=Wn)
 
 
 def window_map_from_nmap(nmap: NeighborMap, halo: int = 256,
                          far_capacity: int | None = None,
-                         tile: int | None = None) -> WindowMap:
+                         tile: int | None = None,
+                         host_far=None) -> WindowMap:
     """WindowMap for a frame that is ALREADY serialized (the sorted-resident
     backbone / host-shipped maps): neighbor indices ARE window slots, so no
     sort/unsort permutes and no code machinery — only the cheap elementwise
     rel split and the far-link compaction. This is the consumer of
-    host-precomputed CPE maps (train/datasets/structure.py)."""
+    host-precomputed CPE maps (train/datasets/structure.py).
+
+    host_far: optional (far (B, K, Fk, 2) int16 [src, dst; -1 = unused],
+    dropped (B,) int32) — far lists the HOST already compacted
+    (structure._stage_far_lists, bit-identical to _compact_far_per_tap),
+    skipping the on-device per-tap top_k sorts entirely. The host must
+    have used the same halo/tile (shared config — structure_cfg_from_model
+    reads the model's knobs); Fk comes from the shipped shape."""
     B, N, K = nmap.idx.shape
     P = tile if tile is not None else _choose_tile(N)
     assert N % P == 0, (N, P)
     T = N // P
     Wn = min(N, P + 2 * halo)
     if far_capacity is None:
-        far_capacity = max(P, N // 2)
-    F = 1 if Wn == N else min(far_capacity, N * K)
+        far_capacity = _auto_far_per_tap(N)
+    F = 1 if Wn == N else far_capacity
     q, ok = nmap.idx, nmap.ok
 
     slot = jnp.arange(N, dtype=jnp.int32)
@@ -207,21 +248,18 @@ def window_map_from_nmap(nmap: NeighborMap, halo: int = 256,
     rel = jnp.where(near, rel, -1).astype(jnp.int32)
     rel = rel.reshape(B, T, P, K).transpose(0, 1, 3, 2)          # (B,T,K,P)
 
-    NK = N * K
-    far = (ok & ~near).reshape(B, NK)
-    lin = jnp.arange(NK, dtype=jnp.int32)[None, :]
-    vals, _ = jax.lax.top_k(jnp.where(far, NK - lin, 0), F)      # (B, F)
-    far_ok = vals > 0
-    fidx = jnp.where(far_ok, NK - vals, 0)
-    far_dst = (fidx // K).astype(jnp.int32)
-    far_k = (fidx % K).astype(jnp.int32)
-    far_src = jnp.take_along_axis(
-        q.reshape(B, NK), fidx, axis=-1).astype(jnp.int32)
-    far_src = jnp.where(far_ok, far_src, 0)
-    far_dropped = (jnp.sum(far, axis=-1) - jnp.sum(far_ok, axis=-1)
-                   ).astype(jnp.int32)
+    if host_far is not None and Wn < N:
+        far, far_dropped = host_far
+        far_dst = far[..., 1].astype(jnp.int32)
+        far_ok = far_dst >= 0
+        far_src = jnp.where(far_ok, far[..., 0].astype(jnp.int32), 0)
+        far_dst = jnp.where(far_ok, far_dst, 0)
+        far_dropped = far_dropped.astype(jnp.int32)
+    else:
+        far_src, far_dst, far_ok, far_dropped = _compact_far_per_tap(
+            q, ok, near, F)
     return WindowMap(order=None, inverse=None, rel=rel,
-                     far_src=far_src, far_dst=far_dst, far_k=far_k,
+                     far_src=far_src, far_dst=far_dst,
                      far_ok=far_ok, far_dropped=far_dropped, nmap=nmap,
                      tile=P, halo=halo, window=Wn)
 
@@ -384,24 +422,33 @@ def _windowed_core(feat_sorted, rel, weight, *, tile, halo, wn,
     return out
 
 
-def _far_correction(feat_sorted, wmap: WindowMap, weight):
-    """XLA pass over the compacted far links -> (B, N, Cout) fp32 sorted."""
-    B, N, _ = feat_sorted.shape
-    K, _, Cout = weight.shape
+def _far_gather(feat_sorted, idx2, interpret=False):
+    """(B, M) row gather for the far lists: the one-hot MXU kernel on TPU
+    (ops/pallas_gather.py — measured on-chip: XLA's native row gather runs
+    667 ms for 27k release-shape rows where the one-hot runs ~1 ms), XLA
+    take_along_axis elsewhere."""
     from .pallas_gather import permute_rows
-    F = wmap.far_src.shape[1]
-    src = permute_rows(feat_sorted, wmap.far_src).astype(jnp.float32)
-    contrib = jnp.zeros((B, F, Cout), jnp.float32)
-    for k in range(K):
-        sel = (wmap.far_k == k) & wmap.far_ok
-        contrib = contrib + jnp.where(
-            sel[..., None],
-            jnp.einsum("bfc,cd->bfd", src, weight[k].astype(jnp.float32),
-                       preferred_element_type=jnp.float32), 0.0)
-    seg = jax.vmap(
-        lambda c, d: jax.ops.segment_sum(c, d, num_segments=N))(
-            contrib, wmap.far_dst)
-    return seg
+    return permute_rows(feat_sorted, idx2, interpret=interpret)
+
+
+def _far_correction(feat_sorted, wmap: WindowMap, weight, interpret=False):
+    """Far links -> (B, N, Cout) fp32 in sorted order: ONE batched matmul
+    over the tap axis (the per-tap grouping makes each tap's links share a
+    weight slice), bracketed by the one-hot MXU gather/scatter."""
+    from .pallas_gather import scatter_rows_add
+    B, N, _ = feat_sorted.shape
+    K, Cin, Cout = weight.shape
+    Fk = wmap.far_src.shape[-1]
+    src = _far_gather(feat_sorted, wmap.far_src.reshape(B, K * Fk),
+                      interpret=interpret)
+    src = src.reshape(B, K, Fk, Cin)
+    src = jnp.where(wmap.far_ok[..., None], src, 0).astype(jnp.float32)
+    contrib = jnp.einsum("bkfc,kcd->bkfd", src,
+                         weight.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    return scatter_rows_add(contrib.reshape(B, K * Fk, Cout),
+                            wmap.far_dst.reshape(B, K * Fk), N,
+                            interpret=interpret)
 
 
 def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
@@ -416,7 +463,8 @@ def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
         feat_sorted, wmap.rel, weight,
         tile=wmap.tile, halo=wmap.halo, wn=wmap.window, interpret=interpret)
     if wmap.window < N:  # static: a full-cloud window has no far links
-        out_sorted = out_sorted + _far_correction(feat_sorted, wmap, weight)
+        out_sorted = out_sorted + _far_correction(
+            feat_sorted, wmap, weight, interpret=interpret)
     if wmap.inverse is None:
         return out_sorted
     return permute_rows(out_sorted, wmap.inverse, interpret=interpret)
@@ -512,18 +560,20 @@ def _dw_windowed(feat_sorted, g_sorted, rel, *, tile, halo, wn,
     return dw[:K, :cin0, :]
 
 
-def _dw_far(feat_sorted, g_sorted, wmap: WindowMap, K):
-    """Weight gradient of the compacted far links (XLA, short list)."""
-    from .pallas_gather import permute_rows
-    src = permute_rows(feat_sorted, wmap.far_src).astype(jnp.float32)
-    gdst = permute_rows(g_sorted, wmap.far_dst).astype(jnp.float32)
-    dws = []
-    for k in range(K):
-        sel = ((wmap.far_k == k) & wmap.far_ok)[..., None]
-        dws.append(jnp.einsum(
-            "bfc,bfd->cd", jnp.where(sel, src, 0.0), gdst,
-            preferred_element_type=jnp.float32))
-    return jnp.stack(dws)
+def _dw_far(feat_sorted, g_sorted, wmap: WindowMap, K, interpret=False):
+    """Weight gradient of the far links: one batched matmul over the tap
+    axis — dW[k] += sum_f x[src_kf]^T g[dst_kf]."""
+    B = feat_sorted.shape[0]
+    Fk = wmap.far_src.shape[-1]
+    src = _far_gather(feat_sorted, wmap.far_src.reshape(B, K * Fk),
+                      interpret=interpret)
+    gdst = _far_gather(g_sorted, wmap.far_dst.reshape(B, K * Fk),
+                       interpret=interpret)
+    src = src.reshape(B, K, Fk, -1)
+    gdst = gdst.reshape(B, K, Fk, -1).astype(jnp.float32)
+    src = jnp.where(wmap.far_ok[..., None], src, 0).astype(jnp.float32)
+    return jnp.einsum("bkfc,bkfd->kcd", src, gdst,
+                      preferred_element_type=jnp.float32)
 
 
 def _mirror_weight(weight):
@@ -566,7 +616,8 @@ def _windowed_op_bwd(interpret, res, g):
     dW = _dw_windowed(feat_sorted, g_sorted, wmap.rel, tile=wmap.tile,
                       halo=wmap.halo, wn=wmap.window, interpret=interpret)
     if wmap.window < feat.shape[1]:  # static: full-window => no far links
-        dW = dW + _dw_far(feat_sorted, g_sorted, wmap, K)
+        dW = dW + _dw_far(feat_sorted, g_sorted, wmap, K,
+                          interpret=interpret)
     return dx, dW.astype(weight.dtype), _float0_zeros(wmap)
 
 

@@ -382,6 +382,29 @@ def permute_rows_any(x, idx, interpret=False):
     return permute_rows(x, idx, interpret=interpret)
 
 
+def scatter_rows_add(g, idx, n, interpret=False):
+    """out[b, idx[b, m], :] += g[b, m, :] -> (B, n, C) fp32.
+
+    The transpose of permute_rows, riding the SAME one-hot MXU kernel the
+    permute backward uses (_bwd_kernel: dx stays VMEM-resident across row
+    tiles). Out-of-range indices (sentinel n) match no one-hot column and
+    are dropped. This is the TPU-fast segment-add for medium index lists:
+    XLA's scatter-add loops (measured 12.6 ms for 27k rows at the release
+    shape on-chip vs ~1 ms here), and its row gather is worse (667 ms) —
+    the far-link machinery of ops/pallas_conv.py is the main consumer."""
+    from .pallas_attention import pallas_available
+    B, M, C = g.shape
+    ok = (pallas_available() or interpret) and \
+        n * C * 4 <= _VMEM_BUDGET_BYTES and 128 * n * 4 <= _VMEM_BUDGET_BYTES
+    if not ok:
+        idxc = jnp.clip(idx, 0, n - 1)
+        keep = (idx >= 0) & (idx < n)
+        g = jnp.where(keep[..., None], g, 0).astype(jnp.float32)
+        return jax.vmap(lambda gg, ii: jax.ops.segment_sum(
+            gg, ii, num_segments=n))(g, idxc)
+    return _permute_bwd_call(idx, g, n, interpret)
+
+
 def permute_rows(x, idx, impl="auto", interpret=False):
     """out[b, m] = x[b, idx[b, m]] for x (B, N, C), idx (B, M) int.
 

@@ -55,8 +55,13 @@ def structure_cfg_from_model(model_cfg):
     """MODEL config node -> the geometry knobs the host builder needs."""
     p3 = dict(model_cfg["ptv3_config"])
     act = dict(model_cfg["action_config"])
+    from ...ops.pallas_conv import (
+        DEFAULT_CONV_HALO, DEFAULT_CONV_FAR_PER_TAP)
     caps = p3.get("stage_caps")
     return dict(
+        conv_halo=p3.get("conv_halo", DEFAULT_CONV_HALO),
+        conv_far_per_tap=p3.get("conv_far_per_tap",
+                                DEFAULT_CONV_FAR_PER_TAP),
         orders=tuple(p3.get("order") or p3.get("orders") or SFC_ORDERS),
         serial_depth=int(p3.get("serial_depth", 10)),
         grid_size=float(act.get("voxel_size", 0.01)),
@@ -146,7 +151,8 @@ def attach_host_structure(batch, cfg, rng):
     return batch
 
 
-def build_structure_maps(grid, codes, counts, cfg, depth=None):
+def build_structure_maps(grid, codes, counts, cfg, depth=None,
+                         with_far=True):
     """Stencil maps for a batch ALREADY in the sorted-resident frame:
     the k=stem_kernel stage-0 map plus the k=3 CPE map of every stage,
     replaying the pooling cascade (models/ptv3.py _pool on the unshuffled
@@ -191,5 +197,67 @@ def build_structure_maps(grid, codes, counts, cfg, depth=None):
                 new_counts[b] = k
             grid, codes, counts = new_grid, new_codes, new_counts
             depth = max(depth - 1, 1)
-        out[f"cpe_nmap{s}"] = _stage_nmap(grid, counts, 3, depth, ext)
+        nm = _stage_nmap(grid, counts, 3, depth, ext)
+        out[f"cpe_nmap{s}"] = nm
+        if with_far:
+            far = _stage_far_lists(nm, s, cfg)
+            if far is not None:
+                out[f"cpe_far{s}"], out[f"cpe_far_dropped{s}"] = far
     return out
+
+
+def _stage_knob_np(val, s):
+    """Host twin of PointTransformerV3TPU._stage_knob."""
+    if val is None:
+        return None
+    if isinstance(val, (tuple, list)):
+        return int(val[min(s, len(val) - 1)])
+    return int(val)
+
+
+def _stage_far_lists(nm, s, cfg):
+    """Per-tap far lists for the windowed CPE conv, computed on the host so
+    the device skips its per-stage top_k compaction (ops/pallas_conv.py
+    _compact_far_per_tap — bit-identical lists: both keep the FIRST Fk far
+    links of each tap in ascending destination order).
+
+    nm: (B, cap, K) int16 stage stencil map (-1 = missing).
+    Returns (far (B, K, Fk, 2) int16 [src, dst; -1 = unused slot],
+             dropped (B,) int32), or None when the stage window covers the
+    whole cloud (no far links possible). Shapes/halos derive from the SAME
+    model config as the device windows (structure_cfg_from_model), which
+    the model re-checks against its own knobs at trace time."""
+    B, cap, K = nm.shape
+    halo = _stage_knob_np(cfg.get("conv_halo", 256), s)
+    P = _choose_tile_np(cap)
+    Wn = min(cap, P + 2 * halo)
+    if Wn == cap:
+        return None
+    fk = _stage_knob_np(cfg.get("conv_far_per_tap"), s)
+    if fk is None:
+        fk = min(cap, max(8, -(-cap // 4 // 8) * 8))
+    fk = min(fk, cap)
+    row = np.arange(cap)
+    ws = np.clip((row // P) * P - halo, 0, max(cap - Wn, 0))
+    ok = nm >= 0
+    rel = nm.astype(np.int32) - ws[None, :, None]
+    far_mask = ok & ((rel < 0) | (rel >= Wn))            # (B, cap, K)
+    out = np.full((B, K, fk, 2), -1, np.int16)
+    dropped = np.zeros(B, np.int32)
+    for b in range(B):
+        fb = far_mask[b]
+        for k in range(K):
+            d = np.flatnonzero(fb[:, k])
+            if len(d) > fk:
+                dropped[b] += len(d) - fk
+                d = d[:fk]
+            out[b, k, :len(d), 0] = nm[b, d, k]
+            out[b, k, :len(d), 1] = d
+    return out, dropped
+
+
+def _choose_tile_np(n):
+    for p in (128, 64, 32, 16, 8):
+        if n % p == 0:
+            return min(p, n)
+    return n

@@ -161,3 +161,73 @@ def test_host_structure_loss_grads_match(seed=0):
         np.testing.assert_allclose(
             np.asarray(a, np.float64), np.asarray(b_, np.float64),
             atol=1e-5 * max(gmax, 1.0))
+
+
+def test_host_far_lists_match_device_compaction():
+    """structure._stage_far_lists must be bit-identical to the device's
+    _compact_far_per_tap (both keep the FIRST Fk far links per tap in
+    ascending destination order) — the host-shipped lists swap in for the
+    on-device top_k without changing a single link."""
+    import jax.numpy as jnp
+    from robot3dlotus_tpu.ops.pallas_conv import (
+        _compact_far_per_tap, _choose_tile)
+    from robot3dlotus_tpu.train.datasets.structure import _stage_far_lists
+
+    rng = np.random.RandomState(0)
+    B, cap, K, halo, fk = 3, 256, 27, 16, 24
+    nm = rng.randint(-1, cap, (B, cap, K)).astype(np.int16)
+    cfg = {"conv_halo": halo, "conv_far_per_tap": fk}
+    far, dropped = _stage_far_lists(nm, 0, cfg)
+    assert far.shape == (B, K, fk, 2)
+
+    # device twin on the same map
+    P = _choose_tile(cap)
+    Wn = min(cap, P + 2 * halo)
+    row = np.arange(cap)
+    ws = np.clip((row // P) * P - halo, 0, max(cap - Wn, 0))
+    ok = nm >= 0
+    rel = nm.astype(np.int32) - ws[None, :, None]
+    near = ok & (rel >= 0) & (rel < Wn)
+    q = jnp.asarray(np.maximum(nm, 0).astype(np.int32))
+    src_d, dst_d, ok_d, dropped_d = _compact_far_per_tap(
+        q, jnp.asarray(ok), jnp.asarray(near), fk)
+
+    ok_h = far[..., 1] >= 0
+    np.testing.assert_array_equal(ok_h, np.asarray(ok_d))
+    np.testing.assert_array_equal(
+        np.where(ok_h, far[..., 0], 0), np.asarray(src_d))
+    np.testing.assert_array_equal(
+        np.where(ok_h, far[..., 1], 0), np.asarray(dst_d))
+    np.testing.assert_array_equal(dropped, np.asarray(dropped_d))
+    assert dropped.sum() > 0 or ok_h.sum() > 0, "test needs far links"
+
+
+def test_host_structure_with_windowed_conv_matches():
+    """Full model: host structure INCLUDING shipped far lists through the
+    interpreted windowed conv == the same model on the un-structured
+    batch (device-side maps + compaction). Covers the cpe_far{s} keys'
+    end-to-end path: builder -> host_structure_kwargs -> _make_aux ->
+    window_map_from_nmap(host_far=...)."""
+    orders = ("z",)
+    ptv3, scfg = _cfgs(orders)
+    ptv3 = dict(ptv3, conv_impl="pallas_interpret", conv_halo=16,
+                conv_far_per_tap=32)
+    scfg = structure_cfg_from_model(
+        {"ptv3_config": ptv3, "action_config": dict(ACT_CFG)})
+    scfg["shuffle"] = False
+    batch = _np_batch(fake_batch(B=2, N=256))
+    structured = attach_host_structure(
+        copy.deepcopy(batch), scfg, np.random.RandomState(5))
+    assert any(k.startswith("cpe_far") for k in structured), \
+        "test needs at least one partial-window stage shipping far lists"
+
+    model = SimplePolicyTPU(ptv3_cfg=ptv3, act_cfg=dict(ACT_CFG),
+                            variant="ca")
+    rngs = {"params": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, batch, deterministic=True)
+    ref = model.apply(variables, batch, deterministic=True)
+    out = model.apply(variables, structured, deterministic=True)
+    for k in ("pos", "rot", "open"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]),
+            atol=2e-5, rtol=2e-5, err_msg=k)

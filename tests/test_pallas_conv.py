@@ -79,6 +79,56 @@ def test_windowed_far_overflow_is_counted():
     assert int(jnp.max(wmap.far_dropped)) > 0
 
 
+def test_far_lists_grouped_by_tap():
+    """far_capacity is PER TAP: lists come out (B, K, Fk), each tap's
+    entries carry that tap's links with destinations ascending, and the
+    drop counter equals total far links minus kept ones."""
+    rng = np.random.RandomState(9)
+    gc, mask, feat, w, bias = _setup(rng, depth=5, span=4)
+    wmap = build_window_map(gc, mask, 3, 5, halo=4, tile=16, far_capacity=8)
+    B, N = feat.shape[:2]
+    assert wmap.far_src.shape == (B, 27, 8)
+    assert wmap.far_dst.shape == (B, 27, 8)
+    dst = np.asarray(wmap.far_dst)
+    ok = np.asarray(wmap.far_ok)
+    for b in range(B):
+        for k in range(27):
+            d = dst[b, k][ok[b, k]]
+            assert np.all(np.diff(d) > 0), "per-tap dsts must ascend"
+    # conservation: every valid link is near (rel != -1), kept-far, or
+    # counted dropped — nothing vanishes silently
+    total_valid = np.asarray(wmap.nmap.ok).reshape(B, -1).sum(-1)
+    near_kept = (np.asarray(wmap.rel) != -1).reshape(B, -1).sum(-1)
+    far_kept = ok.reshape(B, -1).sum(-1)
+    np.testing.assert_array_equal(
+        np.asarray(wmap.far_dropped),
+        total_valid - near_kept - far_kept)
+
+
+def test_heavy_tail_cloud_exact_with_small_halo():
+    """Two spatially separate clusters force long SFC jumps (the tabletop
+    regime that motivated the k-grouped far path): a tight window plus
+    per-tap far lists must still reproduce the XLA conv exactly."""
+    rng = np.random.RandomState(13)
+    B, N, depth = 2, 128, 6
+    gcs = []
+    for _ in range(B):
+        a = _random_cloud(rng, 1, N // 2, depth, span=5)[0]
+        bcl = _random_cloud(rng, 1, N // 2, depth, span=5)[0] + 48
+        gcs.append(np.concatenate([a, bcl]))
+    gc = jnp.asarray(np.stack(gcs).astype(np.int32))
+    mask = jnp.ones((B, N), bool)
+    feat = jnp.asarray(rng.randn(B, N, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32) * 0.2)
+    wmap = build_window_map(gc, mask, 3, depth, halo=8, tile=16)
+    assert wmap.window < N
+    assert int(jnp.max(wmap.far_dropped)) == 0
+    ref = subm_conv_apply(feat, wmap.nmap, w, None)
+    out = subm_conv_windowed(feat, wmap, w, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_windowed_gradients_match_xla_autodiff():
     rng = np.random.RandomState(11)
     gc, mask, feat, w, bias = _setup(rng, depth=5, span=4)

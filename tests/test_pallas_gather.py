@@ -154,3 +154,23 @@ def test_permute_rows_forced_pallas_raises_on_unqualified():
     idx = jnp.zeros((1, 8), jnp.int32)
     with _pytest.raises(ValueError, match="forced"):
         permute_rows(x_int, idx, impl="pallas")
+
+
+def test_scatter_rows_add_matches_segment_sum():
+    """scatter_rows_add == duplicate-accumulating segment add, with
+    out-of-range (sentinel n) rows dropped — on the XLA fallback path and
+    in pallas interpret mode (the far-link scatter of ops/pallas_conv.py)."""
+    from robot3dlotus_tpu.ops.pallas_gather import scatter_rows_add
+    rng = np.random.RandomState(4)
+    B, M, N, C = 2, 128, 64, 8
+    g = jnp.asarray(rng.randn(B, M, C).astype(np.float32))
+    idx = rng.randint(0, N + 1, (B, M))  # N = sentinel, must drop
+    ref = np.zeros((B, N, C), np.float32)
+    for b in range(B):
+        for m in range(M):
+            if idx[b, m] < N:
+                ref[b, idx[b, m]] += np.asarray(g)[b, m]
+    for interp in (False, True):
+        out = scatter_rows_add(g, jnp.asarray(idx), N, interpret=interp)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"interpret={interp}")

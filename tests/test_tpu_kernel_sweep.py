@@ -104,6 +104,47 @@ def test_windowed_conv_grads_compile_and_match_xla(k, cin, cout):
 
 
 @pytest.mark.parametrize("dtype", DTYPES, ids=["f32", "bf16"])
+def test_release_window_with_far_path_on_chip(dtype):
+    """Stage-0 release geometry: N=4096 at halo 64 (Wn=256 windows, T=32
+    tiles) with the k-grouped far path ACTIVE — the exact configuration the
+    release backbone now runs, including the far gather/bmm/segment-sum
+    and the windowed backward."""
+    from robot3dlotus_tpu.ops.sparse_conv import subm_conv_apply
+    from robot3dlotus_tpu.ops.pallas_conv import (
+        build_window_map, subm_conv_windowed)
+    rng = np.random.RandomState(3)
+    B, N, C = 1, 4096, 64
+    gc = _cloud(rng, B, N, span=32)
+    mask = jnp.asarray(np.ones((B, N), bool))
+    feat = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1
+                    ).astype(dtype)
+    wmap = build_window_map(gc, mask, 3, 6, halo=64, far_capacity=1024)
+    assert wmap.window == 256 and wmap.window < N
+    assert int(jnp.max(wmap.far_dropped)) == 0
+    assert int(jnp.sum(wmap.far_ok)) > 0
+
+    out = jax.jit(lambda f, w: subm_conv_windowed(f, wmap, w))(feat, w)
+    ref = jax.jit(lambda f, w: subm_conv_apply(f, wmap.nmap, w))(feat, w)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-4
+    err = np.max(np.abs(np.asarray(out, np.float32)
+                        - np.asarray(ref, np.float32)))
+    scale = max(np.max(np.abs(np.asarray(ref, np.float32))), 1.0)
+    assert err / scale < tol, (dtype, err, scale)
+    if dtype == jnp.float32:
+        g = jax.jit(jax.grad(
+            lambda f, w: jnp.sum(subm_conv_windowed(f, wmap, w) ** 2),
+            argnums=(0, 1)))(feat, w)
+        gr = jax.jit(jax.grad(
+            lambda f, w: jnp.sum(subm_conv_apply(f, wmap.nmap, w) ** 2),
+            argnums=(0, 1)))(feat, w)
+        for a, b, name in zip(g, gr, ("dx", "dW")):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            scale = max(np.max(np.abs(b)), 1.0)
+            assert np.max(np.abs(a - b)) / scale < 5e-4, name
+
+
+@pytest.mark.parametrize("dtype", DTYPES, ids=["f32", "bf16"])
 def test_patch_attention_compiles_release_shape(dtype):
     """Release attention shape: P=128 patches, H=8? heads vary per stage —
     compile the widest (stage-4: 768 ch, head dim 48) and the narrowest."""
