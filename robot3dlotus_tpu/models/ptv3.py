@@ -48,6 +48,7 @@ from ..ops.pooling import (
     build_pool_maps, segment_reduce, gather_heads, unpool_gather,
 )
 from ..ops.sparse_conv import build_neighbor_map
+from ..ops.pallas_conv import DEFAULT_CONV_HALO, DEFAULT_CONV_FAR_PER_TAP
 from .layers import (
     AdaptiveNorm, Block, CABlock, MaskedBatchNorm, SubMConv, dense, gelu,
 )
@@ -63,7 +64,8 @@ def host_structure_kwargs(batch):
         maps.append(batch[f"cpe_nmap{s}"])
         far = batch.get(f"cpe_far{s}")
         fars.append(None if far is None else
-                    (far, batch[f"cpe_far_dropped{s}"]))
+                    (far, batch[f"cpe_far_dropped{s}"],
+                     batch.get(f"cpe_far_meta{s}")))
         s += 1
     return {"order_perm": batch.get("order_perm"),
             "stem_nmap": batch.get("stem_nmap"),
@@ -214,7 +216,7 @@ class PointTransformerV3TPU(nn.Module):
     # keep single full-cloud windows exactly as at the old halo=256).
     # Defaults live in ops/pallas_conv.py (DEFAULT_CONV_HALO) so the host
     # structure builder ships matching far lists.
-    conv_halo: Tuple[int, ...] | int = (64, 64, 64, 192, 192)
+    conv_halo: Tuple[int, ...] | int = DEFAULT_CONV_HALO
     # per-tap static far-list capacity per stage (None = N/4 auto).
     # Sized ~1.5x over the worst single-tap far count measured on
     # realistic keystep-pipeline clouds at halo 64 (194/324/92/11/0 for
@@ -222,8 +224,7 @@ class PointTransformerV3TPU(nn.Module):
     # points 8x denser in grid space, so its sorted-order locality is
     # poorest). Overflow is counted in the conv_far_dropped telemetry,
     # never silent. One int applies to every stage.
-    conv_far_per_tap: Tuple[int, ...] | int | None = (
-        288, 480, 144, 8, 8)
+    conv_far_per_tap: Tuple[int, ...] | int | None = DEFAULT_CONV_FAR_PER_TAP
     # dense occupancy-table neighbor lookup (ops/sparse_conv.py): voxel
     # coords must fit extent^3 (the release layout — xyz_shift 'center',
     # xyz_norm False, 1 cm voxels — spans ~100 cells; pooled stages only
@@ -335,17 +336,34 @@ class PointTransformerV3TPU(nn.Module):
             nm = NeighborMap(idx=jnp.maximum(host_nmap, 0).astype(jnp.int32),
                              ok=host_nmap >= 0)
             if windowed:
-                from ..ops.pallas_conv import window_map_from_nmap
+                from ..ops.pallas_conv import (
+                    window_map_from_nmap, _choose_tile)
                 fcap = self._stage_knob(self.conv_far_per_tap, s)
+                halo = self._stage_knob(self.conv_halo, s)
                 if host_far is not None and fcap is not None:
                     assert host_far[0].shape[-2] == fcap, (
                         f"stage {s}: host far capacity "
                         f"{host_far[0].shape[-2]} != model conv_far_per_tap"
                         f" {fcap} — host/model configs must agree (derive "
                         f"both via structure_cfg_from_model)")
+                    # the host compacted its lists against a specific
+                    # window geometry; a halo/tile mismatch would silently
+                    # double-count (or drop) links inside the device
+                    # window, so the builder ships its (halo, tile) as the
+                    # SHAPE of a zero-size meta array (static under jit)
+                    # and the model refuses a divergent geometry
+                    # (advisor r4, medium).
+                    if len(host_far) > 2 and host_far[2] is not None:
+                        mh, mt = host_far[2].shape[1], host_far[2].shape[2]
+                        assert (mh, mt) == (halo, _choose_tile(cap)), (
+                            f"stage {s}: host far lists built at "
+                            f"halo/tile {(mh, mt)} != model "
+                            f"{(halo, _choose_tile(cap))} — host/model "
+                            f"configs must agree (derive both via "
+                            f"structure_cfg_from_model)")
+                    host_far = host_far[:2]
                 cpe_nmap = window_map_from_nmap(
-                    nm, halo=self._stage_knob(self.conv_halo, s),
-                    far_capacity=fcap, host_far=host_far)
+                    nm, halo=halo, far_capacity=fcap, host_far=host_far)
             else:
                 cpe_nmap = nm
         elif windowed:

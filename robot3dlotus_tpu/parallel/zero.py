@@ -78,6 +78,14 @@ def make_manual_zero1_step(train_cfg: dict, params, mesh: Mesh):
         "manual ZeRO-1 step shards over dp only — build it on a pure-dp "
         f"mesh (got {dict(mesh.shape)})")
     cfg = dict(train_cfg)
+    opt_name = str(cfg.get("optim", "adamw"))
+    # shard-local optimizer math is exact only for ELEMENTWISE transforms;
+    # ralamb/rangerlars compute per-tensor trust ratios from ||p|| and
+    # ||update|| (train/optim.py scale_by_ralamb_ref), which on shards
+    # become shard-local norms — a silent numeric change, so refuse.
+    assert opt_name in ("adamw", "adam", "adamax", "radam"), (
+        f"manual ZeRO-1 supports elementwise optimizers only "
+        f"(adamw/adam/adamax/radam); {opt_name!r} needs full-tensor norms")
     max_norm = cfg.pop("grad_norm", None)
     cfg["grad_norm"] = None
     tx_core, _ = build_optimizer(params, cfg)

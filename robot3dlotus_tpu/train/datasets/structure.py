@@ -202,7 +202,12 @@ def build_structure_maps(grid, codes, counts, cfg, depth=None,
         if with_far:
             far = _stage_far_lists(nm, s, cfg)
             if far is not None:
-                out[f"cpe_far{s}"], out[f"cpe_far_dropped{s}"] = far
+                out[f"cpe_far{s}"], out[f"cpe_far_dropped{s}"] = far[:2]
+                # window geometry the lists were compacted against, carried
+                # as a zero-size array's SHAPE (0, halo, tile) — static
+                # metadata the model checks at trace time (ptv3._make_aux)
+                halo, tile = far[2], far[3]
+                out[f"cpe_far_meta{s}"] = np.zeros((0, halo, tile), np.int8)
     return out
 
 
@@ -223,10 +228,12 @@ def _stage_far_lists(nm, s, cfg):
 
     nm: (B, cap, K) int16 stage stencil map (-1 = missing).
     Returns (far (B, K, Fk, 2) int16 [src, dst; -1 = unused slot],
-             dropped (B,) int32), or None when the stage window covers the
-    whole cloud (no far links possible). Shapes/halos derive from the SAME
-    model config as the device windows (structure_cfg_from_model), which
-    the model re-checks against its own knobs at trace time."""
+             dropped (B,) int32, halo, tile), or None when the stage window
+    covers the whole cloud (no far links possible). Shapes/halos derive
+    from the SAME model config as the device windows
+    (structure_cfg_from_model), which the model re-checks against its own
+    knobs at trace time (Fk from the far shape; halo/tile from the shipped
+    cpe_far_meta{s} zero-size shape)."""
     B, cap, K = nm.shape
     halo = _stage_knob_np(cfg.get("conv_halo", 256), s)
     P = _choose_tile_np(cap)
@@ -253,7 +260,7 @@ def _stage_far_lists(nm, s, cfg):
                 d = d[:fk]
             out[b, k, :len(d), 0] = nm[b, d, k]
             out[b, k, :len(d), 1] = d
-    return out, dropped
+    return out, dropped, halo, P
 
 
 def _choose_tile_np(n):

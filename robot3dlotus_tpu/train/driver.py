@@ -26,7 +26,7 @@ import numpy as np
 import jax
 
 from ..models.factory import build_model
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch, state_shardings
 from ..parallel import dist
 from .trainer import (
     create_train_state, make_train_step, make_val_step, RunningMeter,
@@ -202,6 +202,14 @@ def run_training(config, spec: TaskSpec):
                               batch_stats=merged["batch_stats"])
         logger.info(f"warm start from {warm}: {n_loaded} tensors loaded, "
                     f"{n_skipped} skipped (shape-filtered)")
+
+    if mesh is not None:
+        # resume_or_init / warm_start_variables splice host numpy leaves
+        # (and a python-int step) into the state; re-commit every leaf to
+        # its mesh layout so the step builder's out-sharding pin (which
+        # reads leaf.sharding) and buffer donation see committed device
+        # arrays again (advisor r4, high).
+        state = jax.device_put(state, state_shardings(state, mesh))
 
     if dist.is_default_process():
         save_training_meta(output_dir, config)

@@ -273,7 +273,11 @@ def build_optimizer(params, train_cfg):
     grad_norm = train_cfg.get("grad_norm", None)
 
     def schedule(step):
-        return lr * lr_decay_rate(
+        # the reference additionally floors the applied per-group lr at
+        # 1e-8 AFTER the init-lr product (train_simple_policy.py:229
+        # `max(init_lrs[kp] * lr_decay_rate, 1e-8)`) — clamp here so both
+        # the optimizer (tx_schedule) and the driver's logged lr match.
+        return jnp.maximum(lr * lr_decay_rate(
             step,
             train_cfg.get("lr_sched", "cosine"),
             train_cfg.get("warmup_steps", 2000),
@@ -281,7 +285,7 @@ def build_optimizer(params, train_cfg):
             num_cosine_cycles=train_cfg.get("num_cosine_cycles"),
             lr_decay_step_size=train_cfg.get("lr_decay_step_size"),
             lr_decay_gamma=train_cfg.get("lr_decay_gamma"),
-        )
+        ), 1e-8)
 
     # optax's update count is 0-based (the k-th update sees count = k-1);
     # the reference evaluates the schedule at its 1-based global_step

@@ -177,8 +177,9 @@ def test_host_far_lists_match_device_compaction():
     B, cap, K, halo, fk = 3, 256, 27, 16, 24
     nm = rng.randint(-1, cap, (B, cap, K)).astype(np.int16)
     cfg = {"conv_halo": halo, "conv_far_per_tap": fk}
-    far, dropped = _stage_far_lists(nm, 0, cfg)
+    far, dropped, h_halo, h_tile = _stage_far_lists(nm, 0, cfg)
     assert far.shape == (B, K, fk, 2)
+    assert (h_halo, h_tile) == (halo, _choose_tile(cap))
 
     # device twin on the same map
     P = _choose_tile(cap)
