@@ -21,10 +21,11 @@ Dataflow (exact, not approximate):
      do), followed by the (P, Cin) x (Cin, Cout) stencil matmul, accumulated
      over the K grid dimension into the output block;
   4. out-of-window links are compacted into per-tap static-capacity lists
-     (B, K, Fk) and applied by XLA gather + ONE batched matmul over the tap
-     axis + segment-sum. Grouping by tap makes a far link cost ~2*Cin*Cout
-     FLOPs (vs 2*Wn*Cin for a near link when Cout < Wn), so capacities can
-     be generous — real tabletop scans have a heavy SFC-jump tail (~20% of
+     (B, K, Fk) and applied by XLA take_along_axis + ONE batched matmul
+     over the tap axis + XLA scatter-add (both A/B-chosen on chip over the
+     one-hot realizations, BENCH_AB_r05.json). Grouping by tap makes a far
+     link cost ~2*Cin*Cout FLOPs (vs 2*Wn*Cin for a near link when
+     Cout < Wn), so capacities can be generous — real tabletop scans have a heavy SFC-jump tail (~20% of
      links at halo 64) that the one-hot window should NOT pay for: shrinking
      the halo and widening the far lists is the cheaper trade. When the
      window covers the whole cloud (pooled stages: N <= P + 2H) there are
@@ -423,19 +424,34 @@ def _windowed_core(feat_sorted, rel, weight, *, tile, halo, wn,
 
 
 def _far_gather(feat_sorted, idx2, interpret=False):
-    """(B, M) row gather for the far lists: the one-hot MXU kernel on TPU
-    (ops/pallas_gather.py — measured on-chip: XLA's native row gather runs
-    667 ms for 27k release-shape rows where the one-hot runs ~1 ms), XLA
-    take_along_axis elsewhere."""
-    from .pallas_gather import permute_rows
-    return permute_rows(feat_sorted, idx2, interpret=interpret)
+    """(B, M) row gather for the far lists: XLA take_along_axis.
+
+    Round-5 on-chip A/B (BENCH_AB_r05.json far_path): at the release far
+    shapes (M = K*Fk in 4-13k, N in 1-4k) XLA's native gather beats the
+    one-hot MXU kernel 1.5-2.4x — M is small enough that the scattered
+    reads stay cheap while the one-hot pays 2*B*M*N*C MXU FLOPs. The
+    one-hot stays the winner where M is large (the full-N permutes and the
+    M = N*K stem gather, 25x there — see ops/pallas_gather.py)."""
+    del interpret
+    idx_e = jnp.broadcast_to(idx2[..., None],
+                             idx2.shape + feat_sorted.shape[2:])
+    return jnp.take_along_axis(feat_sorted, idx_e, axis=1)
+
+
+def _far_scatter_add(rows, dst, n):
+    """Scatter-add rows (B, M, C) fp32 into (B, n, C) at row indices dst
+    (B, M): XLA scatter. Round-5 on-chip A/B (BENCH_AB_r05.json far_path):
+    XLA's scatter-add beats the one-hot transpose-matmul scatter 2.4-3x at
+    every release far shape."""
+    zeros = jnp.zeros((rows.shape[0], n, rows.shape[-1]), rows.dtype)
+    return jax.vmap(lambda z, g, i: z.at[i].add(g))(zeros, rows, dst)
 
 
 def _far_correction(feat_sorted, wmap: WindowMap, weight, interpret=False):
     """Far links -> (B, N, Cout) fp32 in sorted order: ONE batched matmul
     over the tap axis (the per-tap grouping makes each tap's links share a
-    weight slice), bracketed by the one-hot MXU gather/scatter."""
-    from .pallas_gather import scatter_rows_add
+    weight slice), bracketed by XLA gather/scatter-add (A/B-chosen, see
+    _far_gather/_far_scatter_add)."""
     B, N, _ = feat_sorted.shape
     K, Cin, Cout = weight.shape
     Fk = wmap.far_src.shape[-1]
@@ -446,9 +462,8 @@ def _far_correction(feat_sorted, wmap: WindowMap, weight, interpret=False):
     contrib = jnp.einsum("bkfc,kcd->bkfd", src,
                          weight.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
-    return scatter_rows_add(contrib.reshape(B, K * Fk, Cout),
-                            wmap.far_dst.reshape(B, K * Fk), N,
-                            interpret=interpret)
+    return _far_scatter_add(contrib.reshape(B, K * Fk, Cout),
+                            wmap.far_dst.reshape(B, K * Fk), N)
 
 
 def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):
