@@ -155,7 +155,8 @@ class SubMConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, nmap, interpret=False, categorical=None):
+    def __call__(self, x, nmap, interpret=False, categorical=None,
+                 window_frame=False, host_far=None, telemetry=None):
         """nmap: a NeighborMap (XLA gather paths) or a WindowMap (windowed
         Pallas kernel, ops/pallas_conv.py) — the conv_impl backbone config
         decides which one the stage aux carries.
@@ -185,7 +186,9 @@ class SubMConv(nn.Module):
             return subm_conv_windowed(
                 materialize_categorical(x, categorical), nmap, weight, bias,
                 interpret=interpret)
-        return subm_conv_apply(x, nmap, weight, bias, categorical=categorical)
+        return subm_conv_apply(x, nmap, weight, bias, categorical=categorical,
+                               window_frame=window_frame, host_far=host_far,
+                               telemetry=telemetry)
 
 
 def rpe_bias(table, rel_pos, pos_bnd):

@@ -67,8 +67,13 @@ def host_structure_kwargs(batch):
                     (far, batch[f"cpe_far_dropped{s}"],
                      batch.get(f"cpe_far_meta{s}")))
         s += 1
+    stem_far = None
+    if batch.get("stem_far") is not None:
+        stem_far = (batch["stem_far"], batch["stem_far_dropped"],
+                    batch.get("stem_far_meta"))
     return {"order_perm": batch.get("order_perm"),
             "stem_nmap": batch.get("stem_nmap"),
+            "stem_far": stem_far,
             "cpe_nmaps": tuple(maps) if maps else None,
             "cpe_fars": tuple(fars) if maps else None}
 
@@ -212,8 +217,9 @@ class PointTransformerV3TPU(nn.Module):
     # far capacity beats a wide window on measured tabletop clouds
     # (ops/pallas_conv.py module docstring). Stages whose capacity is
     # <= tile + 2*halo run one full-cloud window and skip the far pass.
-    # (release cascade: stages 3/4 have <= tile + 2*halo points, so they
-    # keep single full-cloud windows exactly as at the old halo=256).
+    # (release cascade: stage 4 has <= tile + 2*halo points, so it keeps a
+    # single full-cloud window; stage 3 runs a 320-point window at halo 96,
+    # where the r05 audit measured zero far links).
     # Defaults live in ops/pallas_conv.py (DEFAULT_CONV_HALO) so the host
     # structure builder ships matching far lists.
     conv_halo: Tuple[int, ...] | int = DEFAULT_CONV_HALO
@@ -414,8 +420,8 @@ class PointTransformerV3TPU(nn.Module):
     def __call__(self, coord, feat, mask, counts, context=None,
                  context_mask=None, context_vec=None, deterministic=True,
                  return_dec_layers=True, stem_categorical=None,
-                 order_perm=None, stem_nmap=None, cpe_nmaps=None,
-                 cpe_fars=None):
+                 order_perm=None, stem_nmap=None, stem_far=None,
+                 cpe_nmaps=None, cpe_fars=None):
         """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
         counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
         context_vec: (B, ctx) vector for adaptive norms;
@@ -514,9 +520,30 @@ class PointTransformerV3TPU(nn.Module):
             stem_map = build_neighbor_map(cur["grid_coord"], cur["mask"],
                                           self.stem_kernel, depth0,
                                           extent=self.lookup_extent)
+        # the frame here IS sorted-resident (entry sort above, or the host
+        # presorted), so the stem gather may ride the windowed kernel
+        # (ops/pallas_stem.py); host-shipped far lists must match its
+        # window geometry (shape-carried meta, like the CPE check above)
+        stem_host_far = None
+        if stem_far is not None and stem_nmap is not None:
+            if len(stem_far) > 2 and stem_far[2] is not None:
+                from ..ops.pallas_stem import (
+                    DEFAULT_STEM_HALO, _stem_tile)
+                mh, mt = stem_far[2].shape[1], stem_far[2].shape[2]
+                want = (DEFAULT_STEM_HALO, _stem_tile(N0) or 0)
+                assert (mh, mt) == want, (
+                    f"stem far lists built at halo/tile {(mh, mt)} != "
+                    f"kernel {want} — host/model configs must agree")
+            stem_host_far = stem_far[:2]
+        stem_telemetry = {}
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv", dtype=dt)(
-            cur["feat"], stem_map, categorical=stem_categorical)
+            cur["feat"], stem_map, categorical=stem_categorical,
+            window_frame=self._conv_windowed()[0],
+            host_far=stem_host_far, telemetry=stem_telemetry)
+        if "stem_far_dropped" in stem_telemetry:
+            conv_far_dropped = conv_far_dropped + \
+                stem_telemetry["stem_far_dropped"]
         x = AdaptiveNorm(self.enc_channels[0], kind="bn",
                          adaptive=enc_adaptive, name="embedding_norm",
                          dtype=dt)(

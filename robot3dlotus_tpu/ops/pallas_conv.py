@@ -94,11 +94,14 @@ class WindowMap:
 # Release-cascade defaults, shared by the backbone config (models/ptv3.py)
 # and the host structure builder (train/datasets/structure.py) so the
 # device windows and the host-shipped far lists always agree. Halos sized
-# so the one-hot window stays tight (Wn = 256 at stages 0-2; stages 3/4
-# keep single full-cloud windows); per-tap far capacities ~1.5x the worst
-# single-tap far count measured on realistic keystep-pipeline clouds.
-DEFAULT_CONV_HALO = (64, 64, 64, 192, 192)
-DEFAULT_CONV_FAR_PER_TAP = (288, 480, 144, 8, 8)
+# so the one-hot window stays tight (Wn = 256 at stages 0-2 and 320 at
+# stage 3 — the r05 audit measured ZERO far links at halo 96 there, so
+# shrinking from the full 512 window cuts ~2.6e11 step FLOPs for a
+# 16-deep far capacity; stage 4 keeps a single full-cloud window);
+# per-tap far capacities ~1.2-1.5x the worst single-tap far count
+# measured on keystep-pipeline clouds (/tmp/audit: 247/418/122/0).
+DEFAULT_CONV_HALO = (64, 64, 64, 96, 192)
+DEFAULT_CONV_FAR_PER_TAP = (288, 480, 144, 16, 8)
 
 
 def _choose_tile(n: int) -> int:
@@ -431,19 +434,32 @@ def _far_gather(feat_sorted, idx2, interpret=False):
     one-hot MXU kernel 1.5-2.4x — M is small enough that the scattered
     reads stay cheap while the one-hot pays 2*B*M*N*C MXU FLOPs. The
     one-hot stays the winner where M is large (the full-N permutes and the
-    M = N*K stem gather, 25x there — see ops/pallas_gather.py)."""
+    M = N*K stem gather, 25x there — see ops/pallas_gather.py).
+
+    The index keeps a SIZE-1 channel dim: materializing per-channel
+    indices (broadcast_to) turns the lowering into 26M single-element
+    gathers (measured 366 ms in-program where the row-gather form runs
+    ~1.6 ms)."""
     del interpret
-    idx_e = jnp.broadcast_to(idx2[..., None],
-                             idx2.shape + feat_sorted.shape[2:])
-    return jnp.take_along_axis(feat_sorted, idx_e, axis=1)
+    return jnp.take_along_axis(feat_sorted, idx2[..., None], axis=1)
 
 
-def _far_scatter_add(rows, dst, n):
+def _far_scatter_add(rows, dst, n, interpret=False):
     """Scatter-add rows (B, M, C) fp32 into (B, n, C) at row indices dst
-    (B, M): XLA scatter. Round-5 on-chip A/B (BENCH_AB_r05.json far_path):
-    XLA's scatter-add beats the one-hot transpose-matmul scatter 2.4-3x at
-    every release far shape."""
-    zeros = jnp.zeros((rows.shape[0], n, rows.shape[-1]), rows.dtype)
+    (B, M).
+
+    Realization is shape-chosen: XLA's scatter-add beats the one-hot
+    transpose-matmul 2.4-3x at the big far shapes (BENCH_AB_r05.json
+    far_path, confirmed end-to-end: forcing one-hot everywhere cost 9
+    samples/s), but at TINY index lists (stage 3's 432 rows) the one-hot's
+    few-GFLOP matmul undercuts the XLA scatter fusion's fixed cost."""
+    from .pallas_attention import pallas_available
+    B, M, C = rows.shape
+    onehot_flops = 2 * B * n * M * C
+    if (pallas_available() or interpret) and onehot_flops <= 1e10:
+        from .pallas_gather import scatter_rows_add
+        return scatter_rows_add(rows, dst, n, interpret=interpret)
+    zeros = jnp.zeros((B, n, C), rows.dtype)
     return jax.vmap(lambda z, g, i: z.at[i].add(g))(zeros, rows, dst)
 
 
@@ -463,7 +479,8 @@ def _far_correction(feat_sorted, wmap: WindowMap, weight, interpret=False):
                          weight.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
     return _far_scatter_add(contrib.reshape(B, K * Fk, Cout),
-                            wmap.far_dst.reshape(B, K * Fk), N)
+                            wmap.far_dst.reshape(B, K * Fk), N,
+                            interpret=interpret)
 
 
 def _windowed_forward(feat, wmap: WindowMap, weight, interpret=False):

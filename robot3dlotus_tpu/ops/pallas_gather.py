@@ -57,9 +57,10 @@ def _choose_tile(n: int) -> int:
 
 
 def _take_rows(x, idx):
-    idx_e = idx[..., None]
-    idx_e = jnp.broadcast_to(idx_e, idx.shape + x.shape[2:])
-    return jnp.take_along_axis(x, idx_e, axis=1)
+    # size-1 trailing dim (not a materialized broadcast): XLA lowers this
+    # to a ROW gather; per-channel indices degrade to single-element
+    # gathers (~200x slower in-program, see pallas_conv._far_gather)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
 def _take_rows_zero_oob(x, idx):

@@ -171,7 +171,8 @@ def materialize_categorical(feat, categorical):
 
 
 def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
-                    streaming: bool | None = None, categorical=None):
+                    streaming: bool | None = None, categorical=None,
+                    window_frame=False, host_far=None, telemetry=None):
     """feat: (B, N, Cin); weight: (K, Cin + E, Cout); bias: (Cout,) or None.
 
     out[b, n] = sum_k ok * W[k]^T feat[b, idx[b,n,k]]  (+ bias on active sites)
@@ -226,21 +227,63 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
                 cat_idx, cat_table = categorical
                 feat = jnp.concatenate(
                     [feat, cat_idx.astype(feat.dtype)[..., None]], axis=-1)
-            g = gather_rows_smallc(
-                feat, nmap.idx.reshape(B, N * K),
-                interpret=_SMALLC_INTERPRET).reshape(
-                    B, N, K, feat.shape[-1])
-            if categorical is not None:
-                onehot = (g[..., -1:].astype(jnp.int32) ==
+            # windowed stem gather when the CALLER vouches the frame is
+            # sorted-resident (window_frame=True — neighbors fall in a
+            # +-halo band of sorted positions; out-of-band links ride the
+            # compacted far lists with overflow telemetry). 2.5x the
+            # full-N two-level kernel at the release shape
+            # (ops/pallas_stem.py); the full-N kernel stays both the
+            # unaligned-shape fallback and the arbitrary-frame path.
+            from .pallas_stem import (
+                stem_gather_windowed, stem_window_available)
+            far_info = None
+            if window_frame and stem_window_available(feat, nmap.idx):
+                g, far_info = stem_gather_windowed(
+                    feat, nmap, host_far=host_far,
+                    interpret=_SMALLC_INTERPRET)
+                if telemetry is not None:
+                    telemetry["stem_far_dropped"] = (
+                        jnp.sum(far_info[3]) if far_info is not None
+                        else jnp.zeros((), jnp.int32))
+            else:
+                g = gather_rows_smallc(
+                    feat, nmap.idx.reshape(B, N * K),
+                    interpret=_SMALLC_INTERPRET).reshape(
+                        B, N, K, feat.shape[-1])
+
+            def _reconstruct(rows):
+                # raw label-index channel -> embedding channels (the
+                # gather ships 1 index channel instead of E, see docstring)
+                onehot = (rows[..., -1:].astype(jnp.int32) ==
                           jnp.arange(cat_table.shape[0], dtype=jnp.int32))
-                g_lab = jnp.einsum(
-                    "bnke,ec->bnkc", onehot.astype(feat.dtype),
+                lab = jnp.einsum(
+                    "...e,ec->...c", onehot.astype(feat.dtype),
                     cat_table.astype(feat.dtype),
                     preferred_element_type=feat.dtype)
-                g = jnp.concatenate([g[..., :-1], g_lab], axis=-1)
+                return jnp.concatenate([rows[..., :-1], lab], axis=-1)
+
+            if categorical is not None:
+                g = _reconstruct(g)
             g = jnp.where(nmap.ok[..., None], g, 0.0)
             out = jnp.einsum("bnkc,kcd->bnd", g, weight,
                              preferred_element_type=jnp.float32)
+            if far_info is not None:
+                # far links: stencil first, then ONE scatter-add in the
+                # (B, N, Cout) output shape — the A/B-fast scatter shape
+                # (ops/pallas_stem.py docstring)
+                rows, far_dst, far_ok, _ = far_info
+                if categorical is not None:
+                    rows = _reconstruct(rows)
+                rows = jnp.where(far_ok[..., None], rows, 0.0)
+                fc = jnp.einsum("bkfc,kcd->bkfd", rows, weight,
+                                preferred_element_type=jnp.float32)
+                Fk = rows.shape[2]
+                import jax as _jax
+                out = out + _jax.vmap(
+                    lambda z, r, i: z.at[i].add(r))(
+                        jnp.zeros_like(out),
+                        fc.reshape(B, K * Fk, out.shape[-1]),
+                        far_dst.reshape(B, K * Fk))
             streaming = False
         else:
             out = _subm_conv_streaming(

@@ -175,6 +175,20 @@ def build_structure_maps(grid, codes, counts, cfg, depth=None,
     # the loader thread, so it must be far cheaper than a device step
     out = {"stem_nmap": _stage_nmap(grid, counts, cfg["stem_kernel"],
                                     depth, ext)}
+    if with_far:
+        # far lists for the windowed stem gather (ops/pallas_stem.py) —
+        # geometry must mirror the kernel's own (halo/tile validated via
+        # the shape-carried meta, models/ptv3.py stem path)
+        from ...ops.pallas_stem import (
+            DEFAULT_STEM_HALO, DEFAULT_STEM_FAR_PER_TAP, _stem_tile)
+        st = _stem_tile(N)
+        if st is not None:
+            far = _far_lists_np(out["stem_nmap"], DEFAULT_STEM_HALO,
+                                min(DEFAULT_STEM_FAR_PER_TAP, N), st)
+            if far is not None:
+                out["stem_far"], out["stem_far_dropped"] = far[:2]
+                out["stem_far_meta"] = np.zeros((0, far[2], far[3]),
+                                                np.int8)
     caps = _stage_caps_np(cfg, N)
     for s in range(cfg["num_stages"]):
         if s > 0:
@@ -234,32 +248,48 @@ def _stage_far_lists(nm, s, cfg):
     (structure_cfg_from_model), which the model re-checks against its own
     knobs at trace time (Fk from the far shape; halo/tile from the shipped
     cpe_far_meta{s} zero-size shape)."""
-    B, cap, K = nm.shape
+    cap = nm.shape[1]
     halo = _stage_knob_np(cfg.get("conv_halo", 256), s)
-    P = _choose_tile_np(cap)
-    Wn = min(cap, P + 2 * halo)
-    if Wn == cap:
-        return None
     fk = _stage_knob_np(cfg.get("conv_far_per_tap"), s)
     if fk is None:
         fk = min(cap, max(8, -(-cap // 4 // 8) * 8))
-    fk = min(fk, cap)
-    row = np.arange(cap)
-    ws = np.clip((row // P) * P - halo, 0, max(cap - Wn, 0))
-    ok = nm >= 0
-    rel = nm.astype(np.int32) - ws[None, :, None]
-    far_mask = ok & ((rel < 0) | (rel >= Wn))            # (B, cap, K)
+    return _far_lists_np(nm, halo, min(fk, cap), _choose_tile_np(cap))
+
+
+def _far_lists_np(nm, halo, fk, P):
+    """Core per-tap far-list compaction for any window geometry (the CPE
+    stages above and the stem window below share it). Vectorized: one
+    partition+sort along the point axis instead of B*K flatnonzero loops
+    (the K=125 stem made the loop a loader-thread hotspot)."""
+    B, cap, K = nm.shape
+    Wn = min(cap, P + 2 * halo)
+    if Wn == cap:
+        return None
+    row = np.arange(cap, dtype=np.int32)
+    ws = np.clip((row // P) * P - halo, 0, max(cap - Wn, 0)).astype(np.int32)
+    # first fk far destinations per (b, k), ascending (bit-identical to the
+    # device compaction's ordering): sentinel-cap non-far rows, partition
+    # the smallest fk, then sort those. Everything runs in the
+    # (B, K, cap)-transposed layout with in-place ops: the big elementwise
+    # temporaries (not the sort) dominate on the single-core loader host.
+    nmT = np.ascontiguousarray(nm.transpose(0, 2, 1))    # (B, K, cap)
+    relT = nmT.astype(np.int32)
+    relT -= ws[None, None, :]
+    fmT = relT < 0
+    fmT |= relT >= Wn
+    fmT &= nmT >= 0                                      # (B, K, cap)
+    posT = np.where(fmT, row[None, None, :], np.int32(cap))
+    if fk < cap:
+        posT = np.partition(posT, fk, axis=-1)[..., :fk]
+    d = np.sort(posT, axis=-1)                           # (B, K, fk)
+    valid = d < cap
+    src = np.take_along_axis(nmT, np.where(valid, d, 0),
+                             axis=-1)                    # (B, K, fk)
     out = np.full((B, K, fk, 2), -1, np.int16)
-    dropped = np.zeros(B, np.int32)
-    for b in range(B):
-        fb = far_mask[b]
-        for k in range(K):
-            d = np.flatnonzero(fb[:, k])
-            if len(d) > fk:
-                dropped[b] += len(d) - fk
-                d = d[:fk]
-            out[b, k, :len(d), 0] = nm[b, d, k]
-            out[b, k, :len(d), 1] = d
+    out[..., 0] = np.where(valid, src, -1)
+    out[..., 1] = np.where(valid, d, -1)
+    dropped = (fmT.sum(axis=(1, 2))
+               - valid.sum(axis=(1, 2))).astype(np.int32)
     return out, dropped, halo, P
 
 

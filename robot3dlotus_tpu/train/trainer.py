@@ -42,8 +42,8 @@ def shrink_for_init(batch, n=_INIT_SHRINK_N, t=_INIT_SHRINK_T):
     out = {}
     full_n = batch["pc_fts"].shape[1]
     for k, v in batch.items():
-        if k in ("order_perm", "stem_nmap") or k.startswith(("cpe_nmap",
-                                                            "cpe_far")):
+        if k in ("order_perm", "stem_nmap") or k.startswith(
+                ("cpe_nmap", "cpe_far", "stem_far")):
             # host-structure keys (datasets/structure.py) are index maps
             # whose shapes follow the FULL point count / stage capacities;
             # init just drops them — the no-structure trace yields the
