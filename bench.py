@@ -488,25 +488,64 @@ def bench_loader(num_batches=None, batch_clouds=16, num_points=4096):
     return num_batches * batch_clouds / dt
 
 
-def probe_device_matmul(repeats=3):
+def probe_device_matmul(repeats=3, chain=8):
     """Raw device capability probe: completion-forced bf16 4096^3 matmul
-    TFLOP/s. Independent of this framework's code — it attributes a low
-    headline number to the platform vs the program (see BENCH_NOTES.md:
-    the axon-tunneled chip of the dev rig executes ~1000x below v5e peak,
-    so the record carries its own evidence)."""
+    TFLOP/s over a CHAIN of dependent matmuls — a single matmul is
+    link-RTT-bound on the tunneled rig (~25 ms RTT makes one 25-ms matmul
+    read as 5.4 TF/s when the sustained rate is ~36), so the chain
+    amortizes the round trip. Independent of this framework's code — it
+    attributes a low headline number to the platform vs the program."""
     import jax
     import jax.numpy as jnp
     n = 4096
-    x = jnp.ones((n, n), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
-    float(f(x).sum())  # compile + warmup
+    x = jnp.ones((n, n), jnp.bfloat16) * 0.001
+
+    def chained(a):
+        y = a
+        for _ in range(chain):
+            y = y @ a
+        return jnp.sum(y.astype(jnp.float32))
+
+    f = jax.jit(chained)
+    float(f(x))  # compile + warmup
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(f(x).sum())  # readback forces completion through the tunnel
+        float(f(x))  # readback forces completion through the tunnel
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    return 2 * n ** 3 / best / 1e12
+    return chain * 2 * n ** 3 / best / 1e12
+
+
+def run_conditions():
+    """Run-environment capture (round-4 verdict item 3: the driver's bench
+    and the builder's local bench disagreed by 18% with nothing recorded
+    to diagnose it): host load, usable cores, link RTT, and the knob
+    values that change the measured program."""
+    import jax
+    import jax.numpy as jnp
+    cond = {}
+    try:
+        cond["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        cond["cpus"] = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cond["cpus"] = os.cpu_count()
+    # link RTT: median of 5 tiny completion-forced readbacks
+    f = jax.jit(lambda x: x + 1)
+    y = jnp.zeros((8,), jnp.float32)
+    float(f(y)[0])
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(y)[0])
+        rtts.append(time.perf_counter() - t0)
+    cond["link_rtt_ms"] = round(sorted(rtts)[len(rtts) // 2] * 1e3, 2)
+    cond["knobs"] = {k: os.environ[k] for k in sorted(os.environ)
+                     if k.startswith("BENCH_")}
+    return cond
 
 
 def _backend_initializes(timeout_s=600):
@@ -621,7 +660,7 @@ def bench_train(bench_model, B, N, steps, dtype, impl):
 
     # median of repeated windows; one loss readback per window forces true
     # completion of the whole window while still allowing step pipelining
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")  # e.g. /tmp/jax_trace
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -708,7 +747,10 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "16"))
     N = int(os.environ.get("BENCH_POINTS", "4096"))
-    steps = int(os.environ.get("BENCH_STEPS", "3"))
+    # 5-step windows (x BENCH_REPEATS medians): at ~0.2 s/step the longer
+    # window halves the run-to-run spread that made r04's driver number
+    # diverge from the local one
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
     # headline model ('simple' keystep policy unless overridden)
     bench_model = os.environ.get("BENCH_MODEL", "simple")
     # BENCH_IMPL=xla disables the one-hot/windowed Pallas kernel family in
@@ -725,6 +767,11 @@ def main():
     rec = bench_train(bench_model, B, N, steps, dtype, impl)
     rec["impl"] = impl
     rec["device_kind"] = jax.devices()[0].device_kind
+    try:
+        rec["run_conditions"] = run_conditions()
+    except Exception as e:
+        print(f"bench: run-conditions capture failed: {e!r}",
+              file=sys.stderr)
     try:
         rec["device_matmul_tflops"] = round(probe_device_matmul(), 3)
     except Exception as e:

@@ -161,3 +161,142 @@ def make_manual_zero1_step(train_cfg: dict, params, mesh: Mesh):
         jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), opt_specs,
                                is_leaf=_IS_P))
     return step_fn, opt_state0
+
+
+_ELEMENTWISE_OPTIMS = ("adamw", "adam", "adamax", "radam")
+
+
+def _shard_slice(p, d, didx, dp):
+    """This device's shard of a replicated leaf along its dp dim."""
+    if d < 0:
+        return p
+    size = p.shape[d] // dp
+    return jax.lax.dynamic_slice_in_dim(p, didx * size, size, d)
+
+
+def make_manual_zero1_train_step(model, loss_fn, train_cfg: dict, state,
+                                 mesh: Mesh):
+    """PRODUCTION trainer step with the manual ZeRO-1 reduce-scatter
+    formulation inline (TRAIN.zero1_manual=True in train/driver.py
+    run_training): ONE shard_map over 'dp' computes per-device partial
+    gradients, jax.lax.psum_scatter reduces them straight into this
+    device's optimizer shard, the core optimizer runs on shards only, and
+    one all-gather rebuilds the applied update — LITERAL reduce-scatter /
+    all-gather collectives in the compiled HLO on every backend, on the
+    exact step object run_training executes.
+
+    The TrainState must come from create_train_state(zero1_manual=True):
+    its tx is the clip-free elementwise chain (the global-norm clip moves
+    inside, computed from shard-local sums of squares + one scalar psum —
+    optax.clip_by_global_norm semantics), and its opt_state leaves are
+    committed to the zero1_param_specs layouts.
+
+    Semantics vs the GSPMD path (make_train_step): per-device loss terms
+    are averaged with equal weight (exactly torch DDP's mean-of-rank-means
+    — the reference's training semantics, distributed.py:196-212) and
+    batch-norm statistics are shard-local per step, exactly DDP's
+    per-rank BatchNorm; the running stats are cross-device averaged
+    before being stored (better than DDP, which saves rank 0's). Dropout
+    masks decorrelate across devices by folding the axis index into the
+    step rng.
+
+    Returns step(state, batch, rng) -> (new_state, losses), jitted with
+    the donated state pinned to its committed layout.
+    """
+    import optax
+    from jax.sharding import PartitionSpec
+
+    assert mesh.shape.get("tp", 1) == 1 and mesh.shape.get("sp", 1) == 1, (
+        "manual ZeRO-1 trains over dp only — use a pure-dp mesh "
+        f"(got {dict(mesh.shape)})")
+    opt_name = str(train_cfg.get("optim", "adamw"))
+    assert opt_name in _ELEMENTWISE_OPTIMS, (
+        f"manual ZeRO-1 supports elementwise optimizers only; got "
+        f"{opt_name!r}")
+    dp = mesh.shape["dp"]
+    max_norm = train_cfg.get("grad_norm", None)
+    tx_core = state.tx
+
+    specs = zero1_param_specs(state.params, mesh)
+    dims = jax.tree_util.tree_map(_dp_dim, specs, is_leaf=_IS_P)
+    opt_specs = jax.tree_util.tree_map(
+        lambda l: l.sharding.spec if hasattr(l, "sharding") else P(),
+        state.opt_state)
+
+    def body(params, bstats, opt_state, batch, drng, srng):
+        didx = jax.lax.axis_index("dp")
+
+        def compute(p):
+            preds, mutated = model.apply(
+                {"params": p, "batch_stats": bstats}, batch,
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(drng, didx),
+                      "shuffle": jax.random.fold_in(srng, didx)},
+                mutable=["batch_stats"])
+            losses = loss_fn(preds, batch)
+            return losses["total"], (losses, mutated)
+
+        (_, (losses, mutated)), grads = jax.value_and_grad(
+            compute, has_aux=True)(params)
+
+        # partial local grads -> this device's shard of the MEAN gradient
+        def rs(g, d):
+            g = g / dp
+            if d < 0:
+                return jax.lax.psum(g, "dp")
+            return jax.lax.psum_scatter(g, "dp", scatter_dimension=d,
+                                        tiled=True)
+
+        g_shards = jax.tree_util.tree_map(rs, grads, dims)
+
+        def local_sq(g, d):
+            s = jnp.sum(jnp.square(g.astype(jnp.float32)))
+            return s if d >= 0 else s / dp
+
+        sq = sum(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(local_sq, g_shards, dims)))
+        gnorm = jnp.sqrt(jax.lax.psum(sq, "dp"))
+        if max_norm:
+            scale = jnp.float32(max_norm) / jnp.maximum(gnorm, max_norm)
+            g_shards = jax.tree_util.tree_map(
+                lambda g: (g * scale).astype(g.dtype), g_shards)
+
+        p_shards = jax.tree_util.tree_map(
+            lambda p, d: _shard_slice(p, d, didx, dp), params, dims)
+        updates, new_opt = tx_core.update(g_shards, opt_state, p_shards)
+
+        def ag(u, d):
+            if d < 0:
+                return u
+            return jax.lax.all_gather(u, "dp", axis=d, tiled=True)
+
+        updates = jax.tree_util.tree_map(ag, updates, dims)
+        new_params = optax.apply_updates(params, updates)
+        new_bstats = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, "dp"), mutated["batch_stats"])
+        losses = {k: jax.lax.pmean(v, "dp") for k, v in losses.items()}
+        return new_params, new_bstats, new_opt, losses
+
+    rep = PartitionSpec()
+
+    def step(state, batch, rng):
+        drng, srng = jax.random.split(jax.random.fold_in(rng, state.step))
+        batch_specs = {
+            k: P("dp") if (getattr(v, "ndim", 0) >= 1
+                           and v.shape[0] % dp == 0) else rep
+            for k, v in batch.items()}
+        # rep entries are pytree PREFIXES: the whole params/batch_stats/
+        # losses subtrees are replicated
+        new_params, new_bstats, new_opt, losses = shard_map(
+            body, mesh=mesh,
+            in_specs=(rep, rep, opt_specs, batch_specs, rep, rep),
+            out_specs=(rep, rep, opt_specs, rep),
+            check_vma=False,
+        )(state.params, state.batch_stats, state.opt_state, batch,
+          drng, srng)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            opt_state=new_opt, batch_stats=new_bstats)
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,))

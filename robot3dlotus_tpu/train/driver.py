@@ -173,10 +173,21 @@ def run_training(config, spec: TaskSpec):
     loss_cfg = dict(config.MODEL.loss_config)
     loss_fn = lambda preds, b: spec.loss_fn(preds, b, act_cfg, loss_cfg)
 
+    # TRAIN.zero1_manual: train with the manual reduce-scatter ZeRO-1 step
+    # (parallel/zero.py make_manual_zero1_train_step) — LITERAL
+    # reduce-scatter/all-gather collectives on the trainer's own path,
+    # pure-dp meshes only. Default (False) is the GSPMD formulation.
+    zero1_manual = bool(config.TRAIN.get("zero1_manual", False))
+    if zero1_manual:
+        assert mesh is not None and mesh.shape.get("tp", 1) == 1 \
+            and mesh.shape.get("sp", 1) == 1, (
+                "TRAIN.zero1_manual needs a pure-dp multi-device mesh")
+
     first = next(iter(batches))
     host_first = jax.tree_util.tree_map(np.asarray, first)
     state, schedule = create_train_state(
-        model, host_first, dict(config.TRAIN), rng, mesh=mesh)
+        model, host_first, dict(config.TRAIN), rng, mesh=mesh,
+        zero1_manual=zero1_manual)
     nparams = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f"#parameters: {nparams/1e6:.2f}M")
 
@@ -218,7 +229,12 @@ def run_training(config, spec: TaskSpec):
     # state= pins the step's output layout to the committed one — required
     # under ZeRO-1 so the dp-sharded moments can't leak their layout onto
     # the updated (replicated) params (see make_train_step docstring)
-    step_fn = make_train_step(model, loss_fn, mesh=mesh, state=state)
+    if zero1_manual:
+        from ..parallel.zero import make_manual_zero1_train_step
+        step_fn = make_manual_zero1_train_step(
+            model, loss_fn, dict(config.TRAIN), state, mesh)
+    else:
+        step_fn = make_train_step(model, loss_fn, mesh=mesh, state=state)
 
     # ---- validation setup (reference train_simple_policy.py:256-265) ----
     val_cfg = dict(config.get("VAL_DATASET", {}) or {})

@@ -81,10 +81,16 @@ def init_variables(model, sample_batch, rng, shrink=True):
 
 
 def create_train_state(model, sample_batch, train_cfg, rng, mesh=None,
-                       zero1=True):
+                       zero1=True, zero1_manual=False):
     variables = init_variables(model, sample_batch, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", flax.core.freeze({}))
+    if zero1_manual:
+        # the manual reduce-scatter step (parallel/zero.py
+        # make_manual_zero1_train_step) moves the global-norm clip inside
+        # its shard_map, so the state's tx is the clip-free elementwise
+        # chain and its opt_state matches that chain's structure
+        train_cfg = dict(train_cfg, grad_norm=None)
     tx, schedule = build_optimizer(params, train_cfg)
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)
