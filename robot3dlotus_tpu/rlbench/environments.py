@@ -162,8 +162,22 @@ class RLBenchEnv:
             obs_state_dict = self.get_observation(obs)
             move.reset(obs_state_dict["gripper"])
 
+            # per-step camera images under log_dir/<task>/<demo>/camera_<i>/
+            # (reference environments.py:355-367)
+            ep_dir = None
+            if log_dir is not None and save_image:
+                ep_dir = os.path.join(str(log_dir), task_str, str(demo_id))
+                os.makedirs(ep_dir, exist_ok=True)
+
             step_id = -1
             for step_id in range(max_episodes):
+                if ep_dir is not None:
+                    from PIL import Image
+                    for cam_id, img in enumerate(obs_state_dict["rgb"]):
+                        cam_dir = os.path.join(ep_dir, f"camera_{cam_id}")
+                        os.makedirs(cam_dir, exist_ok=True)
+                        Image.fromarray(np.asarray(img, np.uint8)).save(
+                            os.path.join(cam_dir, f"{step_id}.png"))
                 output = actioner.predict(
                     task_str=task_str, variation=variation, step_id=step_id,
                     obs_state_dict=obs_state_dict, episode_id=demo_id,

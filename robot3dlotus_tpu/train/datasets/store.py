@@ -259,12 +259,24 @@ class SyntheticStore:
     than the input pipeline."""
 
     def __init__(self, num_taskvars=4, episodes_per_taskvar=8,
-                 steps_per_episode=4, points_per_step=12000, seed=0):
+                 steps_per_episode=4, points_per_step=12000, seed=0,
+                 action_mode="random"):
+        """action_mode:
+          'random' — keystep actions are i.i.d. draws (episode-memorization
+            is the only signal; the default for loader/shape benchmarks).
+          'reach'  — a LEARNABLE synthetic task: every next-keystep action
+            is a deterministic function of the current observation (reach
+            the object-blob centroid, canonical orientation, gripper
+            alternating by step), so a policy trained on some episodes
+            generalizes to held-out ones — the sim-free end-to-end
+            learning proof (scripts/e2e_learning_proof.py) trains on 8
+            episodes/task and evaluates ReplayEnv success on 16."""
         self._tv = [f"synthetic_task{i}+0" for i in range(num_taskvars)]
         self._eps = [f"episode{j}" for j in range(episodes_per_taskvar)]
         self.steps = steps_per_episode
         self.npts = points_per_step
         self.seed = seed
+        self.action_mode = action_mode
         self._cache = {}
 
     def taskvars(self):
@@ -287,6 +299,7 @@ class SyntheticStore:
         T, n = self.steps, self.npts
         ws_z = 0.7505
         xyz, rgb = [], []
+        blob_centroids = []
         for t in range(T):
             # a tabletop-ish scene: slab + a few blobs above the table
             base = rng.uniform([-0.1, -0.35, ws_z + 0.001],
@@ -294,6 +307,7 @@ class SyntheticStore:
             blobs = rng.randn(n - n // 2, 3) * 0.05 + \
                 rng.uniform([0.0, -0.2, ws_z + 0.05],
                             [0.4, 0.2, ws_z + 0.3], (1, 3))
+            blob_centroids.append(blobs.mean(0).astype(np.float32))
             pts = np.concatenate([base, blobs], 0).astype(np.float32)
             # voxel-dedup at 1 cm like the preprocessing chain; coords are
             # bounded (|x|<~2 m -> |vox|<200) so a packed 1-D key makes the
@@ -304,14 +318,25 @@ class SyntheticStore:
             pts = pts[np.sort(idx)]
             xyz.append(pts)
             rgb.append(rng.randint(0, 256, (len(pts), 3)).astype(np.uint8))
-        quat = rng.randn(T + 1, 4)
-        quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
-        action = np.concatenate([
-            rng.uniform([-0.1, -0.3, ws_z], [0.5, 0.3, ws_z + 0.4],
-                        (T + 1, 3)),
-            quat,
-            rng.randint(0, 2, (T + 1, 1)).astype(np.float64),
-        ], axis=1).astype(np.float32)
+        if self.action_mode == "reach":
+            # next-keystep action is a FUNCTION of the current cloud:
+            # reach the blob centroid, canonical quat, gripper by parity —
+            # learnable from the observation, so training transfers to
+            # episodes never seen (ReplayEnv scores within 5 cm + gripper)
+            pos = np.stack([blob_centroids[0]]
+                           + blob_centroids)            # (T+1, 3)
+            quat = np.tile(np.array([0, 0, 0, 1], np.float32), (T + 1, 1))
+            grip = (np.arange(T + 1) % 2).astype(np.float32)[:, None]
+            action = np.concatenate([pos, quat, grip], 1).astype(np.float32)
+        else:
+            quat = rng.randn(T + 1, 4)
+            quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+            action = np.concatenate([
+                rng.uniform([-0.1, -0.3, ws_z], [0.5, 0.3, ws_z + 0.4],
+                            (T + 1, 3)),
+                quat,
+                rng.randint(0, 2, (T + 1, 1)).astype(np.float64),
+            ], axis=1).astype(np.float32)
 
         bbox_info, pose_info = {}, {}
         from ...utils.robot_box import RLBENCH_ARM_LINKS, RLBENCH_GRIPPER_LINKS
@@ -372,6 +397,15 @@ def open_store(path_or_kind):
         return SyntheticStore()
     if path_or_kind == "synthetic_motion":
         return SyntheticMotionStore()
+    if isinstance(path_or_kind, str) and \
+            path_or_kind.startswith("synthetic_reach"):
+        # 'synthetic_reach' (8 episodes/task) or 'synthetic_reach<N>'
+        # (N episodes/task — the learning proof holds out episodes by
+        # training on the 8-episode store and replaying the 16-episode one;
+        # episode generation is id-deterministic so the first 8 coincide)
+        n = path_or_kind[len("synthetic_reach"):]
+        return SyntheticStore(action_mode="reach",
+                              episodes_per_taskvar=int(n) if n else 8)
     # sniff: LMDB dirs contain data.mdb
     sub = [d for d in os.listdir(path_or_kind)
            if os.path.isdir(os.path.join(path_or_kind, d))]

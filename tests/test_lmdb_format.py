@@ -19,6 +19,7 @@ pinned to the deterministic branch on both sides so outputs are comparable
 bit-for-bit.
 """
 import json
+import os
 import random
 import sys
 import types
@@ -363,3 +364,60 @@ def test_reference_dataset_reads_our_lmdb_bytes(tmp_path, monkeypatch):
     assert batch["pc_fts"].shape == (4, 4096, 7)
     assert bool(batch["pc_mask"].any(-1).all()) if "pc_mask" in batch \
         else batch["counts"].min() > 0
+
+
+# --------------------------------------------- real-lmdb fixture direction
+
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "lmdb_gembench")
+
+
+def test_real_lmdb_fixture_roundtrip():
+    """The direction that proves interchange: a GemBench-format LMDB
+    directory written by the REAL C liblmdb, read by the pure-Python
+    reader. Runs UNCONDITIONALLY whenever the committed fixture exists
+    (scripts/make_lmdb_fixture.py generates it on any host with the
+    binding); this zero-egress image ships neither liblmdb nor the
+    binding, so absent the fixture the test documents exactly what is
+    missing instead of silently passing."""
+    if not os.path.isdir(FIXTURE_DIR):
+        if "lmdb" in sys.modules or _importable("lmdb"):
+            # binding available: generate the fixture on the fly
+            from robot3dlotus_tpu.scripts import __name__ as _  # noqa: F401
+            import subprocess
+            subprocess.run([sys.executable, os.path.join(
+                os.path.dirname(os.path.dirname(__file__)),
+                "scripts", "make_lmdb_fixture.py")], check=True)
+        else:
+            pytest.skip(
+                "real-lmdb fixture absent AND no lmdb binding in this "
+                "image (zero-egress: liblmdb/py-lmdb not installed, "
+                "verified via ldconfig + pip); generate it with "
+                "scripts/make_lmdb_fixture.py on a host that has lmdb "
+                "and commit tests/fixtures/lmdb_gembench/")
+    import json as _json
+    from scripts.make_lmdb_fixture import episode_record
+    manifest = _json.load(open(os.path.join(FIXTURE_DIR, "manifest.json")))
+    from robot3dlotus_tpu.train.datasets.store import _unpack_np
+    for ti, tv in enumerate(manifest["taskvars"]):
+        path = os.path.join(FIXTURE_DIR, tv)
+        with pylmdb.LmdbFileReader(path) as r:
+            keys = sorted(r.keys())
+            assert keys == [f"episode{i}".encode()
+                            for i in range(manifest["episodes"])], keys
+            for ei in range(manifest["episodes"]):
+                got = _unpack_np(r.get(f"episode{ei}".encode()))
+                want = episode_record(ti, ei)
+                np.testing.assert_array_equal(got["action"],
+                                              want["action"])
+                for t in range(len(want["xyz"])):
+                    np.testing.assert_array_equal(got["xyz"][t],
+                                                  want["xyz"][t])
+                    np.testing.assert_array_equal(got["rgb"][t],
+                                                  want["rgb"][t])
+
+
+def _importable(mod):
+    import importlib.util
+    return importlib.util.find_spec(mod) is not None
