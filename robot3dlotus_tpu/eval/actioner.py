@@ -716,8 +716,20 @@ class Actioner:
 
         cin = prepped[0][1].shape[-1]
         cap = self._BATCH_BUCKETS[-1]
-        for c0 in range(0, len(prepped), cap):
-            chunk = prepped[c0:c0 + cap]
+        # double-buffered chunking (round-4 verdict item 7): a full
+        # top-bucket batch splits into two half-bucket chunks, and every
+        # chunk's packing + H2D staging happens while the PREVIOUS chunk's
+        # device program runs — jax dispatch is async, so the only
+        # synchronization is the deferred np.array() collect at the end
+        # (device compute of chunk k overlaps host work of chunk k+1 and
+        # the decode of earlier chunks).
+        chunk_size = cap
+        if len(prepped) >= cap and cap // 2 in self._BATCH_BUCKETS:
+            chunk_size = cap // 2
+
+        pending = []  # (chunk, device-futures or ndarray)
+        for c0 in range(0, len(prepped), chunk_size):
+            chunk = prepped[c0:c0 + chunk_size]
             B = _bucket(len(chunk), self._BATCH_BUCKETS)
             T = _bucket(max(pr[5].shape[0] for pr in chunk), TXT_BUCKETS)
             if self.mesh is not None:
@@ -725,32 +737,37 @@ class Actioner:
                     [(pc_ft, ee_pose, instr_embed, step_id)
                      for _, pc_ft, _, _, ee_pose, instr_embed, step_id
                      in chunk], B, T)
-            else:
-                # point capacity bucketed on the chunk's largest cloud
-                Nb = _bucket(max(len(pr[1]) for pr in chunk),
-                             self._point_buckets)
-                run = self._predict_fn_flat_batch(cin, Nb)
-                flat = np.zeros((B, Nb * (cin + 1) + 10), np.float32)
-                txt = np.zeros((B, T, chunk[0][5].shape[-1]), np.float32)
-                txt_mask = np.zeros((B, T), bool)
-                for r, (_, pc_ft, _, _, ee_pose, instr_embed, step_id) in \
-                        enumerate(chunk):
-                    self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id,
-                                        N=Nb)
-                    t = min(instr_embed.shape[0], T)
-                    txt[r, :t] = instr_embed[:t]
-                    txt_mask[r, :t] = True
-                for r in range(len(chunk), B):  # padding rows: row 0 again
-                    flat[r] = flat[0]
-                    txt[r] = txt[0]
-                    txt_mask[r] = txt_mask[0]
-                args = (self.variables, jnp.asarray(flat),
-                        jnp.asarray(txt), jnp.asarray(txt_mask))
-                if self.host_structure:
-                    struct_rows = [pr[1] for pr in chunk]
-                    struct_rows += [chunk[0][1]] * (B - len(chunk))
-                    args += (jnp.asarray(self._struct_buf(struct_rows, Nb)),)
-                actions = np.array(run(*args))
+                pending.append((chunk, actions))
+                continue
+            # point capacity bucketed on the chunk's largest cloud
+            Nb = _bucket(max(len(pr[1]) for pr in chunk),
+                         self._point_buckets)
+            run = self._predict_fn_flat_batch(cin, Nb)
+            flat = np.zeros((B, Nb * (cin + 1) + 10), np.float32)
+            txt = np.zeros((B, T, chunk[0][5].shape[-1]), np.float32)
+            txt_mask = np.zeros((B, T), bool)
+            for r, (_, pc_ft, _, _, ee_pose, instr_embed, step_id) in \
+                    enumerate(chunk):
+                self._pack_flat_row(flat[r], pc_ft, ee_pose, step_id,
+                                    N=Nb)
+                t = min(instr_embed.shape[0], T)
+                txt[r, :t] = instr_embed[:t]
+                txt_mask[r, :t] = True
+            for r in range(len(chunk), B):  # padding rows: row 0 again
+                flat[r] = flat[0]
+                txt[r] = txt[0]
+                txt_mask[r] = txt_mask[0]
+            args = (self.variables, jnp.asarray(flat),
+                    jnp.asarray(txt), jnp.asarray(txt_mask))
+            if self.host_structure:
+                struct_rows = [pr[1] for pr in chunk]
+                struct_rows += [chunk[0][1]] * (B - len(chunk))
+                args += (jnp.asarray(self._struct_buf(struct_rows, Nb)),)
+            # dispatch only: the returned device array is a future
+            pending.append((chunk, run(*args)))
+
+        for chunk, actions in pending:
+            actions = np.asarray(actions)  # blocks on this chunk only
             for r, (i, _, centroid, radius, _, _, _) in enumerate(chunk):
                 action = self._finish_action(actions[r].copy(),
                                              centroid, radius)

@@ -18,6 +18,7 @@ import json
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import sys
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -180,7 +181,13 @@ def producer_fn(
         for demo_id in range(num_demos):
             try:
                 obs = env.reset(task_str, int(variation), demo_id, seed=seed)
-            except Exception:
+            except Exception as e:
+                # counted as a failed demo, never silent (an env that can't
+                # reset this taskvar at all yields sr=0 WITH the reason on
+                # the worker log — reference behavior is a hard crash)
+                print(f"[producer {proc_id}] reset failed "
+                      f"{taskvar} demo {demo_id}: {e!r}", file=sys.stderr,
+                      flush=True)
                 continue
             reward = 0.0
             cache = None

@@ -126,9 +126,14 @@ def _eval_sr(cfg, ckpt_step, num_demos, result_dir, actioner="policy"):
     """One producer/consumer server run against ReplayEnv on the 16-episode
     store; returns mean SR over taskvars."""
     from robot3dlotus_tpu.eval import eval_simple_policy_server as srv
+    from robot3dlotus_tpu.train.datasets.store import open_store
+    tv_file = os.path.join(result_dir, "taskvars_synthetic.json")
+    with open(tv_file, "w") as f:
+        json.dump(open_store("synthetic_reach16").taskvars(), f)
     args = [
         "--expr_dir", cfg.output_dir, "--ckpt_step", str(ckpt_step),
         "--env", "replay", "--replay_data_dir", "synthetic_reach16",
+        "--taskvar_file", tv_file,
         "--num_demos", str(num_demos), "--num_workers", "2",
         "--max_steps", "4", "--seed", "100",
     ]
@@ -178,16 +183,18 @@ def main(argv=None):
                     default="release")
     ap.add_argument("--num-demos", type=int, default=16)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse an existing trained workdir (eval only)")
     args = ap.parse_args(argv)
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="e2e_proof_")
     cfg = _config(workdir, args.steps, args.scale)
     cfg.freeze()
 
-    _save_step0(cfg)
-
-    from robot3dlotus_tpu.train import train_simple_policy
-    train_simple_policy.main(cfg)
+    if not args.skip_train:
+        _save_step0(cfg)
+        from robot3dlotus_tpu.train import train_simple_policy
+        train_simple_policy.main(cfg)
 
     metrics = [json.loads(line) for line in
                open(os.path.join(cfg.output_dir, "logs", "metrics.jsonl"))]
