@@ -32,9 +32,15 @@ def main(argv=None):
     xml_path = os.path.join(tempfile.mkdtemp(prefix="tpu_tests_"),
                             "junit.xml")
     env = dict(os.environ, GRAFT_TEST_TPU="1")
+    # The hardware tier is the four kernel suites whose TPU-only cases are
+    # gated on jax.default_backend() == "tpu" (plus @pytest.mark.tpu cases
+    # inside them); a bare `-m tpu` filter would deselect the sweep, whose
+    # gate is a module-level skipif, not the marker.
     cmd = [sys.executable, "-m", "pytest",
            "tests/test_tpu_kernel_sweep.py",
-           "tests/", "-m", "tpu",
+           "tests/test_pallas_attention.py",
+           "tests/test_pallas_gather.py",
+           "tests/test_pallas_stem.py",
            "-q", "--junit-xml", xml_path]
     proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
                           text=True, timeout=args.timeout)
