@@ -98,10 +98,14 @@ class WindowMap:
 # stage 3 — the r05 audit measured ZERO far links at halo 96 there, so
 # shrinking from the full 512 window cuts ~2.6e11 step FLOPs for a
 # 16-deep far capacity; stage 4 keeps a single full-cloud window);
-# per-tap far capacities ~1.2-1.5x the worst single-tap far count
-# measured on keystep-pipeline clouds (/tmp/audit: 247/418/122/0).
+# per-tap far capacities 1.25x the worst single-tap far count measured
+# over 384 augmented keystep-pipeline clouds (FAR_AUDIT_r05.json,
+# scripts/audit_far_capacity.py: tap-max 256/342/104/5/0) — the far
+# gather/scatter fusions are row-count-bound (~8 ns/row, BENCH_NOTES
+# r05), so every capacity slot costs like a real link every step;
+# overflow is non-silent (cpe_far_dropped{s} telemetry).
 DEFAULT_CONV_HALO = (64, 64, 64, 96, 192)
-DEFAULT_CONV_FAR_PER_TAP = (288, 480, 144, 16, 8)
+DEFAULT_CONV_FAR_PER_TAP = (320, 432, 136, 8, 8)
 
 
 def _choose_tile(n: int) -> int:
