@@ -156,7 +156,8 @@ class SubMConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, nmap, interpret=False, categorical=None,
-                 window_frame=False, host_far=None, telemetry=None):
+                 window_frame=False, host_far=None, host_farp=None,
+                 telemetry=None):
         """nmap: a NeighborMap (XLA gather paths) or a WindowMap (windowed
         Pallas kernel, ops/pallas_conv.py) — the conv_impl backbone config
         decides which one the stage aux carries.
@@ -188,7 +189,7 @@ class SubMConv(nn.Module):
                 interpret=interpret)
         return subm_conv_apply(x, nmap, weight, bias, categorical=categorical,
                                window_frame=window_frame, host_far=host_far,
-                               telemetry=telemetry)
+                               host_farp=host_farp, telemetry=telemetry)
 
 
 def rpe_bias(table, rel_pos, pos_bnd):

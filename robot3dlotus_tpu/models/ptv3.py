@@ -71,9 +71,14 @@ def host_structure_kwargs(batch):
     if batch.get("stem_far") is not None:
         stem_far = (batch["stem_far"], batch["stem_far_dropped"],
                     batch.get("stem_far_meta"))
+    stem_farp = None
+    if batch.get("stem_farp") is not None:
+        stem_farp = (batch["stem_farp"], batch["stem_farp_dropped"],
+                     batch.get("stem_farp_meta"))
     return {"order_perm": batch.get("order_perm"),
             "stem_nmap": batch.get("stem_nmap"),
             "stem_far": stem_far,
+            "stem_farp": stem_farp,
             "cpe_nmaps": tuple(maps) if maps else None,
             "cpe_fars": tuple(fars) if maps else None}
 
@@ -421,7 +426,7 @@ class PointTransformerV3TPU(nn.Module):
                  context_mask=None, context_vec=None, deterministic=True,
                  return_dec_layers=True, stem_categorical=None,
                  order_perm=None, stem_nmap=None, stem_far=None,
-                 cpe_nmaps=None, cpe_fars=None):
+                 stem_farp=None, cpe_nmaps=None, cpe_fars=None):
         """coord: (B, N, 3); feat: (B, N, Cin); mask: (B, N) bool;
         counts: (B,) int32; context: (B, T, ctx) tokens for the CA variant;
         context_vec: (B, ctx) vector for adaptive norms;
@@ -524,23 +529,35 @@ class PointTransformerV3TPU(nn.Module):
         # presorted), so the stem gather may ride the windowed kernel
         # (ops/pallas_stem.py); host-shipped far lists must match its
         # window geometry (shape-carried meta, like the CPE check above)
+        def _check_stem_meta(meta, kind):
+            if meta is None:
+                return
+            from ..ops.pallas_stem import DEFAULT_STEM_HALO, _stem_tile
+            mh, mt = meta.shape[1], meta.shape[2]
+            want = (DEFAULT_STEM_HALO, _stem_tile(N0) or 0)
+            assert (mh, mt) == want, (
+                f"stem {kind} far lists built at halo/tile {(mh, mt)} != "
+                f"kernel {want} — host/model configs must agree")
+
         stem_host_far = None
-        if stem_far is not None and stem_nmap is not None:
-            if len(stem_far) > 2 and stem_far[2] is not None:
-                from ..ops.pallas_stem import (
-                    DEFAULT_STEM_HALO, _stem_tile)
-                mh, mt = stem_far[2].shape[1], stem_far[2].shape[2]
-                want = (DEFAULT_STEM_HALO, _stem_tile(N0) or 0)
-                assert (mh, mt) == want, (
-                    f"stem far lists built at halo/tile {(mh, mt)} != "
-                    f"kernel {want} — host/model configs must agree")
+        stem_host_farp = None
+        if stem_farp is not None and stem_nmap is not None:
+            # pooled far list (capacity rides the shipped shape; only the
+            # window geometry needs cross-checking)
+            if len(stem_farp) > 2:
+                _check_stem_meta(stem_farp[2], "pooled")
+            stem_host_farp = stem_farp[:2]
+        elif stem_far is not None and stem_nmap is not None:
+            if len(stem_far) > 2:
+                _check_stem_meta(stem_far[2], "per-tap")
             stem_host_far = stem_far[:2]
         stem_telemetry = {}
         x = SubMConv(self.enc_channels[0], self.stem_kernel, use_bias=False,
                      name="embedding_stem_conv", dtype=dt)(
             cur["feat"], stem_map, categorical=stem_categorical,
             window_frame=self._conv_windowed()[0],
-            host_far=stem_host_far, telemetry=stem_telemetry)
+            host_far=stem_host_far, host_farp=stem_host_farp,
+            telemetry=stem_telemetry)
         if "stem_far_dropped" in stem_telemetry:
             conv_far_dropped = conv_far_dropped + \
                 stem_telemetry["stem_far_dropped"]

@@ -51,8 +51,18 @@ KB = 32             # taps per grid step
 # per-tap far capacity at halo 128 on generated keystep-pipeline clouds:
 # worst single-tap far count measured 372 over 72 release-preprocessed
 # clouds (k=5 corner taps at 1 cm voxels, 4096 points) — sized ~1.4x over
-# it; overflow rides the stem_far_dropped telemetry, never silent
+# it; overflow rides the stem_far_dropped telemetry, never silent.
+# This rectangular (K, Fk) layout is the device-side-compaction fallback;
+# the training path ships a POOLED list instead (see stem_far_pooled_apply)
+# because per-tap loads are skewed: K*Fk = 64000 slots/cloud vs a measured
+# worst-case TOTAL of ~18.2k (FAR_AUDIT_r05.json), and the far
+# gather/scatter fusions are row-count-bound (~8 ns/row).
 DEFAULT_STEM_FAR_PER_TAP = 512
+# pooled per-cloud far capacity, as a multiple of the point count: 6*N =
+# 24576 at N=4096 covers the audited worst cloud total (18247) with 35%
+# margin; truncation is dst-ascending-suffix and rides the same dropped
+# telemetry
+DEFAULT_STEM_FAR_POOL_FACTOR = 6
 
 
 def _stem_tile(n: int):
@@ -176,7 +186,8 @@ _windowed_gather_op.defvjp(_windowed_gather_fwd, _windowed_gather_bwd)
 
 
 def stem_gather_windowed(feat, nmap, host_far=None, interpret=False,
-                         far_per_tap: int | None = None):
+                         far_per_tap: int | None = None,
+                         with_far: bool = True):
     """Windowed drop-in for the stem's gather_rows_smallc call.
 
     feat: (B, N, C<=8) float (will be zero-padded to C8 channels);
@@ -231,7 +242,7 @@ def stem_gather_windowed(feat, nmap, host_far=None, interpret=False,
     g = g.reshape(B, N, KP, C8)[:, :, :K, :]
 
     far_info = None
-    if wn < N:
+    if wn < N and with_far:
         if host_far is not None:
             far, far_dropped = host_far[0], host_far[1].astype(jnp.int32)
             far_dst = far[..., 1].astype(jnp.int32)
@@ -252,3 +263,75 @@ def stem_gather_windowed(feat, nmap, host_far=None, interpret=False,
                     far_dropped)
 
     return g[..., :C], far_info
+
+
+def stem_far_pooled_apply(feat, weight, farp):
+    """Far-link contribution of the stem conv from a host-shipped POOLED
+    list (stem_far_layout="pooled") — an alternative to the per-tap
+    (B, K, Fk, 2) layout above.
+
+    feat: (B, N, Cin) with Cin the FULL stencil input width (categorical
+    channels already materialized); weight: (K, Cin, Cout);
+    farp: (B, F, 2) int32 [src * K + tap, dst] sorted by dst ascending,
+    -1 = unused slot.
+
+    Returns the (B, N, Cout) float32 far contribution:
+        out[b, dst] += feat[b, src] @ weight[tap]   for each link.
+
+    Realization: the far gather/scatter fusions are ROW-COUNT-bound on
+    this chip (~8 ns/row from the 64 KB feat table), so the pooled list
+    pays them on ~actual links (capacity 6*N = 24576/cloud over an
+    audited worst-case total of 18247, FAR_AUDIT_r05.json) instead of
+    the per-tap layout's K * max-tap-load = 64000 capacity slots. The
+    per-row tap matrix rides a ONE-HOT OVER TAPS (Kpad = 128):
+    Wg[b, f] = onehot(tap) @ W_pack(Kpad, Cin*Cout) is an MXU matmul of
+    B*F*Kpad*Cin*Cout FLOPs (~1e11 counted with its dW transpose), then
+    out_row = sum_i rows[.., i] * Wg[.., i, :] on the VPU. A row-GATHER
+    Wg (zero counted FLOPs) matches it in the forward but loses 3.5
+    samples/s end-to-end: its dW cotangent is a 393k-row scatter-add
+    into the 125-row weight table (hot-spot serialization), where the
+    one-hot's dW is a clean (Kpad, B*F) x (B*F, Cin*Cout) MXU matmul
+    (A/B in BENCH_NOTES r05).
+
+    Two REJECTED alternatives, measured on chip (BENCH_NOTES r05):
+      * a pre-applied (B, N*K, Cout) tap table — gathers from the 1 GB
+        table ran at 2x the ns/row of the small-table gather, and its
+        autodiff cotangent scatter lowered to a 64-step serialized loop
+        (~110 ms/step all-in);
+      * a khatri-rao one-hot over K*Cin — pays K x the matmul FLOPs on
+        every row (the kernel-family inflation round 3 flagged).
+
+    Backward is plain autodiff: gathers, scatter-adds, and dense
+    contractions in small shapes only; the Wg residual is (B, F,
+    Cin*Cout) bf16 (~0.4 GB at the release shape).
+    """
+    B, N, Cin = feat.shape
+    K, wc, Cout = weight.shape
+    assert wc == Cin, (wc, Cin)
+    src_tap = farp[..., 0]
+    dst = farp[..., 1]
+    ok = dst >= 0
+    src_tap = jnp.where(ok, src_tap, 0)
+    dst = jnp.where(ok, dst, 0)
+    src = src_tap // K
+    tap = src_tap - src * K
+    # per-row input rows from the SMALL (B, N, Cin) table — size-1
+    # trailing dim on the index = ROW gather lowering (a materialized
+    # broadcast index degrades to per-element gathers)
+    rows = jnp.take_along_axis(feat, src[..., None], axis=1)   # (B, F, Ci)
+    # per-row tap matrix via one-hot over taps (MXU both ways — see
+    # docstring for the rejected gather realization)
+    kpad = -(-K // 128) * 128
+    w_pack = weight.astype(feat.dtype).reshape(K, Cin * Cout)
+    if kpad != K:
+        w_pack = jnp.pad(w_pack, ((0, kpad - K), (0, 0)))
+    onehot = (tap[..., None] ==
+              jnp.arange(kpad, dtype=jnp.int32)).astype(feat.dtype)
+    wg = jnp.einsum("bfk,kc->bfc", onehot, w_pack,
+                    preferred_element_type=feat.dtype)
+    wg = wg.reshape(B, wg.shape[1], Cin, Cout)
+    out_rows = jnp.einsum("bfi,bfio->bfo", rows, wg,
+                          preferred_element_type=jnp.float32)
+    out_rows = jnp.where(ok[..., None], out_rows, 0)
+    return jax.vmap(lambda z, r, i: z.at[i].add(r))(
+        jnp.zeros((B, N, Cout), jnp.float32), out_rows, dst)

@@ -172,7 +172,8 @@ def materialize_categorical(feat, categorical):
 
 def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
                     streaming: bool | None = None, categorical=None,
-                    window_frame=False, host_far=None, telemetry=None):
+                    window_frame=False, host_far=None, host_farp=None,
+                    telemetry=None):
     """feat: (B, N, Cin); weight: (K, Cin + E, Cout); bias: (Cout,) or None.
 
     out[b, n] = sum_k ok * W[k]^T feat[b, idx[b,n,k]]  (+ bias on active sites)
@@ -223,10 +224,18 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
             from .pallas_gather import gather_rows_smallc
             B, N, C = feat.shape
             K = nmap.idx.shape[-1]
+            feat_nocat = feat
             if categorical is not None:
                 cat_idx, cat_table = categorical
+                # ship the raw index ONE-BASED: the windowed gather zeroes
+                # out-of-window (far) rows, and a zero raw channel must
+                # reconstruct to a ZERO embedding, not table[0] — far links
+                # get their real contribution from the far path, so a
+                # table[0] residue here would double-count into every far
+                # link's destination
                 feat = jnp.concatenate(
-                    [feat, cat_idx.astype(feat.dtype)[..., None]], axis=-1)
+                    [feat, (cat_idx + 1).astype(feat.dtype)[..., None]],
+                    axis=-1)
             # windowed stem gather when the CALLER vouches the frame is
             # sorted-resident (window_frame=True — neighbors fall in a
             # +-halo band of sorted positions; out-of-band links ride the
@@ -235,16 +244,34 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
             # (ops/pallas_stem.py); the full-N kernel stays both the
             # unaligned-shape fallback and the arbitrary-frame path.
             from .pallas_stem import (
-                stem_gather_windowed, stem_window_available)
+                stem_gather_windowed, stem_window_available,
+                stem_far_pooled_apply)
             far_info = None
+            farp_out = None
             if window_frame and stem_window_available(feat, nmap.idx):
-                g, far_info = stem_gather_windowed(
-                    feat, nmap, host_far=host_far,
-                    interpret=_SMALLC_INTERPRET)
-                if telemetry is not None:
-                    telemetry["stem_far_dropped"] = (
-                        jnp.sum(far_info[3]) if far_info is not None
-                        else jnp.zeros((), jnp.int32))
+                if host_farp is not None:
+                    # POOLED far list (training path): the windowed kernel
+                    # handles near links only; far links ride ONE row
+                    # gather + ONE scatter-add sized to ~actual link
+                    # counts instead of K * per-tap capacity
+                    # (stem_far_pooled_apply docstring)
+                    g, _ = stem_gather_windowed(
+                        feat, nmap, interpret=_SMALLC_INTERPRET,
+                        with_far=False)
+                    farp_out = stem_far_pooled_apply(
+                        materialize_categorical(feat_nocat, categorical),
+                        weight, host_farp[0])
+                    if telemetry is not None:
+                        telemetry["stem_far_dropped"] = jnp.sum(
+                            host_farp[1].astype(jnp.int32))
+                else:
+                    g, far_info = stem_gather_windowed(
+                        feat, nmap, host_far=host_far,
+                        interpret=_SMALLC_INTERPRET)
+                    if telemetry is not None:
+                        telemetry["stem_far_dropped"] = (
+                            jnp.sum(far_info[3]) if far_info is not None
+                            else jnp.zeros((), jnp.int32))
             else:
                 g = gather_rows_smallc(
                     feat, nmap.idx.reshape(B, N * K),
@@ -253,9 +280,12 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
 
             def _reconstruct(rows):
                 # raw label-index channel -> embedding channels (the
-                # gather ships 1 index channel instead of E, see docstring)
+                # gather ships 1 index channel instead of E, see
+                # docstring). One-based match: a zeroed (out-of-window)
+                # row matches NO table entry -> zero embedding
                 onehot = (rows[..., -1:].astype(jnp.int32) ==
-                          jnp.arange(cat_table.shape[0], dtype=jnp.int32))
+                          1 + jnp.arange(cat_table.shape[0],
+                                         dtype=jnp.int32))
                 lab = jnp.einsum(
                     "...e,ec->...c", onehot.astype(feat.dtype),
                     cat_table.astype(feat.dtype),
@@ -284,6 +314,8 @@ def subm_conv_apply(feat, nmap: NeighborMap, weight, bias=None,
                         jnp.zeros_like(out),
                         fc.reshape(B, K * Fk, out.shape[-1]),
                         far_dst.reshape(B, K * Fk))
+            if farp_out is not None:
+                out = out + farp_out
             streaming = False
         else:
             out = _subm_conv_streaming(

@@ -178,11 +178,27 @@ def build_structure_maps(grid, codes, counts, cfg, depth=None,
     if with_far:
         # far lists for the windowed stem gather (ops/pallas_stem.py) —
         # geometry must mirror the kernel's own (halo/tile validated via
-        # the shape-carried meta, models/ptv3.py stem path)
+        # the shape-carried meta, models/ptv3.py stem path). Default
+        # layout is POOLED (ops/pallas_stem.stem_far_pooled_apply): the
+        # far gather/scatter fusions are row-count-bound, and the pooled
+        # list carries 2.6x fewer rows than the per-tap rectangle
+        # (FAR_AUDIT_r05.json; per-tap stays as stem_far_layout="per_tap"
+        # and as the device-compaction fallback).
         from ...ops.pallas_stem import (
-            DEFAULT_STEM_HALO, DEFAULT_STEM_FAR_PER_TAP, _stem_tile)
+            DEFAULT_STEM_HALO, DEFAULT_STEM_FAR_PER_TAP,
+            DEFAULT_STEM_FAR_POOL_FACTOR, _stem_tile)
         st = _stem_tile(N)
-        if st is not None:
+        layout = cfg.get("stem_far_layout", "pooled")
+        if st is not None and layout == "pooled":
+            pool = cfg.get("stem_far_pool") or \
+                DEFAULT_STEM_FAR_POOL_FACTOR * N
+            farp = _far_pool_np(out["stem_nmap"], DEFAULT_STEM_HALO,
+                                int(pool), st)
+            if farp is not None:
+                out["stem_farp"], out["stem_farp_dropped"] = farp[:2]
+                out["stem_farp_meta"] = np.zeros((0, farp[2], farp[3]),
+                                                 np.int8)
+        elif st is not None:
             far = _far_lists_np(out["stem_nmap"], DEFAULT_STEM_HALO,
                                 min(DEFAULT_STEM_FAR_PER_TAP, N), st)
             if far is not None:
@@ -290,6 +306,46 @@ def _far_lists_np(nm, halo, fk, P):
     out[..., 1] = np.where(valid, d, -1)
     dropped = (fmT.sum(axis=(1, 2))
                - valid.sum(axis=(1, 2))).astype(np.int32)
+    return out, dropped, halo, P
+
+
+def _far_pool_np(nm, halo, pool, P):
+    """POOLED far list for one window geometry: every (dst, tap) link whose
+    source falls outside dst's sorted window, packed as (B, pool, 2) int32
+    [src * K + tap, dst] in dst-ascending (tap-minor) order, -1 = unused.
+
+    The fused src*K+tap index addresses the device's (B, N*K, Cout)
+    pre-applied tap table directly (ops/pallas_stem.stem_far_pooled_apply).
+    Links beyond `pool` drop from the dst-ascending suffix, counted in
+    dropped (B,) int32 — same non-silent overflow contract as the per-tap
+    compaction, different tie-break (per-tap keeps each tap's FIRST Fk;
+    pooled keeps the batch's first `pool` in dst order)."""
+    B, cap, K = nm.shape
+    Wn = min(cap, P + 2 * halo)
+    if Wn == cap:
+        return None
+    row = np.arange(cap, dtype=np.int32)
+    ws = np.clip((row // P) * P - halo, 0, max(cap - Wn, 0)).astype(np.int32)
+    nmi = nm.astype(np.int32)                       # (B, cap, K) dst-major
+    rel = nmi - ws[None, :, None]
+    fm = (rel < 0) | (rel >= Wn)
+    fm &= nmi >= 0
+    out = np.full((B, pool, 2), -1, np.int32)
+    dropped = np.zeros(B, np.int32)
+    flat_fm = fm.reshape(B, cap * K)
+    flat_src = nmi.reshape(B, cap * K)
+    for b in range(B):
+        ii = np.flatnonzero(flat_fm[b])             # dst-major ascending
+        n = len(ii)
+        if n > pool:
+            dropped[b] = n - pool
+            ii = ii[:pool]
+            n = pool
+        src = flat_src[b, ii]
+        dst = ii // K
+        tap = ii % K
+        out[b, :n, 0] = src * K + tap
+        out[b, :n, 1] = dst
     return out, dropped, halo, P
 
 

@@ -141,3 +141,108 @@ def test_compiled_on_chip_matches_interpret():
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_i),
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(f_c[3]), np.asarray(f_i[3]))
+
+
+def _pool_from_idx(idx, N, pool=None):
+    from robot3dlotus_tpu.train.datasets.structure import _far_pool_np
+    tile = pallas_stem._stem_tile(N)
+    pool = pool or pallas_stem.DEFAULT_STEM_FAR_POOL_FACTOR * N
+    return _far_pool_np(np.asarray(idx, np.int32),
+                        pallas_stem.DEFAULT_STEM_HALO, int(pool), tile)
+
+
+def test_pooled_far_matches_smallc():
+    """The pooled far list (host layout) through subm_conv_apply must match
+    the full-N reference path bit-for-tolerance, including gradients into
+    the input features and the stencil weight."""
+    feat, nmap, w, idx, _ = _setup(N=1024, far_frac=0.05)
+    farp, dropped, halo, tile = _pool_from_idx(idx, 1024)
+    assert dropped.sum() == 0, "capacity must cover this fixture"
+    host_farp = (jnp.asarray(farp), jnp.asarray(dropped))
+    ref = subm_conv_apply(feat, nmap, w, window_frame=False)
+    tele = {}
+    out = subm_conv_apply(feat, nmap, w, window_frame=True,
+                          host_farp=host_farp, telemetry=tele)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    assert int(tele["stem_far_dropped"]) == 0
+
+    def loss(path_kwargs):
+        def f(ft, wt):
+            return jnp.sum(subm_conv_apply(ft, nmap, wt, **path_kwargs) ** 2)
+        return f
+
+    gf_p, gw_p = jax.grad(loss(dict(window_frame=True,
+                                    host_farp=host_farp)), (0, 1))(feat, w)
+    gf_r, gw_r = jax.grad(loss(dict(window_frame=False)), (0, 1))(feat, w)
+    for gp, gr in ((gf_p, gf_r), (gw_p, gw_r)):
+        scale = float(jnp.max(jnp.abs(gr))) or 1.0
+        np.testing.assert_allclose(np.asarray(gp) / scale,
+                                   np.asarray(gr) / scale,
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_pooled_far_matches_per_tap_path():
+    """Pooled and per-tap host layouts are two packagings of the SAME link
+    set — outputs must agree (scatter-order association noise only)."""
+    from robot3dlotus_tpu.train.datasets.structure import _far_lists_np
+    feat, nmap, w, idx, _ = _setup(N=1024, far_frac=0.05)
+    N = 1024
+    tile = pallas_stem._stem_tile(N)
+    per_tap = _far_lists_np(np.asarray(idx, np.int16),
+                            pallas_stem.DEFAULT_STEM_HALO,
+                            min(pallas_stem.DEFAULT_STEM_FAR_PER_TAP, N),
+                            tile)
+    farp, dropped, _, _ = _pool_from_idx(idx, N)
+    assert per_tap[1].sum() == 0 and dropped.sum() == 0
+    out_t = subm_conv_apply(
+        feat, nmap, w, window_frame=True,
+        host_far=(jnp.asarray(per_tap[0]), jnp.asarray(per_tap[1])))
+    out_p = subm_conv_apply(
+        feat, nmap, w, window_frame=True,
+        host_farp=(jnp.asarray(farp), jnp.asarray(dropped)))
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_t),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pooled_far_categorical():
+    """Motion-planner stem: pooled far path must reproduce the label
+    embedding exactly (it pre-applies on materialized channels instead of
+    the raw-index gather trick)."""
+    feat, nmap, w, idx, rng = _setup(C=7, Cout=24, N=1024, far_frac=0.05)
+    Kcat, E = 4, 5
+    K = nmap.idx.shape[-1]
+    cat_idx = jnp.asarray(rng.randint(0, Kcat, feat.shape[:2]), jnp.int32)
+    table = jnp.asarray(rng.randn(Kcat, E) * 0.3, jnp.float32)
+    w_cat = jnp.asarray(rng.randn(K, 7 + E, 24) * 0.1, jnp.float32)
+    farp, dropped, _, _ = _pool_from_idx(idx, 1024)
+    assert dropped.sum() == 0
+    host_farp = (jnp.asarray(farp), jnp.asarray(dropped))
+
+    def run(tbl, **kw):
+        return subm_conv_apply(feat, nmap, w_cat,
+                               categorical=(cat_idx, tbl), **kw)
+
+    ref = run(table, window_frame=False)
+    out = run(table, window_frame=True, host_farp=host_farp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    gt_p = jax.grad(lambda t: jnp.sum(
+        run(t, window_frame=True, host_farp=host_farp) ** 2))(table)
+    gt_r = jax.grad(lambda t: jnp.sum(run(t, window_frame=False) ** 2))(table)
+    scale = float(jnp.max(jnp.abs(gt_r))) or 1.0
+    np.testing.assert_allclose(np.asarray(gt_p) / scale,
+                               np.asarray(gt_r) / scale,
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_pooled_truncation_counts_dropped():
+    feat, nmap, w, idx, _ = _setup(N=1024, far_frac=0.2)
+    farp, dropped, _, _ = _pool_from_idx(idx, 1024, pool=64)
+    assert dropped.sum() > 0
+    assert farp.shape[1] == 64
+    tele = {}
+    subm_conv_apply(feat, nmap, w, window_frame=True,
+                    host_farp=(jnp.asarray(farp), jnp.asarray(dropped)),
+                    telemetry=tele)
+    assert int(tele["stem_far_dropped"]) == int(dropped.sum())
