@@ -88,6 +88,10 @@ def make_manual_zero1_step(train_cfg: dict, params, mesh: Mesh):
         f"(adamw/adam/adamax/radam); {opt_name!r} needs full-tensor norms")
     max_norm = cfg.pop("grad_norm", None)
     cfg["grad_norm"] = None
+    # per-leaf chain only: the fused flat-buffer adamw bakes its layout
+    # from FULL param shapes at build time, but this tx runs on per-device
+    # SHARDS inside the shard_map
+    cfg["fused_optim"] = False
     tx_core, _ = build_optimizer(params, cfg)
 
     specs = zero1_param_specs(params, mesh)

@@ -23,6 +23,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -72,6 +73,121 @@ def decay_mask(params):
     """True where weight decay applies."""
     return jax.tree_util.tree_map_with_path(
         lambda path, _: not _is_no_decay(path), params)
+
+
+class _FlatAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: jnp.ndarray   # (Tpad,) f32 — one buffer for the whole tree
+    nu: jnp.ndarray   # (Tpad,) f32
+
+
+# flat-buffer pad granule: dim0 of the (Tpad,) moments divides any dp axis
+# up to 4096, so zero1_leaf_spec can shard them (parallel/mesh.py)
+_FLAT_PAD = 4096
+
+
+def flat_adamw(params, lr_fn, b1=0.9, b2=0.999, eps=1e-8,
+               weight_decay=0.0, mask_tree=None, max_norm=None,
+               mult_tree=None):
+    """AdamW over ONE flat parameter-sized buffer — elementwise-identical
+    to optax.chain(clip_by_global_norm, adamw(mask), lr-multi/freeze
+    scaling) but compiled as a handful of large fusions instead of ~2-3
+    tiny ones per parameter leaf (421 leaves at the release config; the
+    per-leaf launch overhead of ~20 us each put ~12 ms/step of optimizer
+    time on an otherwise idle chip — BENCH_NOTES r05).
+
+    The per-leaf structure is static, so weight-decay mask, lr
+    multipliers, and freeze masks become piecewise-constant per-ELEMENT
+    vectors baked at build time; update() concatenates the gradient leaves
+    (one HLO), runs the whole update on the flat vector, and returns
+    updates as static slices (XLA fuses slice+apply per leaf).
+
+    Exactness notes vs the per-leaf chain: the global-norm clip sums
+    squares in one reduction instead of per-leaf partial sums (different
+    float association, ~1 ulp); everything else is elementwise-identical.
+    The (Tpad,) moment buffers are zero-padded to a 4096 multiple so a
+    ZeRO-1 dp axis can shard them (state_shardings / zero1_leaf_spec).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [l.shape for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    dtypes = [l.dtype for l in leaves]
+    total = sum(sizes)
+    tpad = -(-total // _FLAT_PAD) * _FLAT_PAD
+
+    def _piecewise(tree, default):
+        """Per-leaf scalars -> a builder for the per-ELEMENT flat vector,
+        constructed INSIDE the traced program (broadcast + concat of 421
+        scalars — XLA fuses it into the consuming elementwise op). Baking
+        it as a host constant instead embeds a params-sized literal in the
+        HLO, which breaks serialized-compile transports (observed: the
+        axon remote-compile tunnel rejects the program with HTTP 413)."""
+        if tree is None:
+            return None
+        vals = jax.tree_util.tree_leaves(tree)
+        assert len(vals) == len(leaves)
+        if all(v == default for v in vals):
+            return None
+
+        def build():
+            segs = [jnp.full((sz,), float(v), jnp.float32)
+                    for v, sz in zip(vals, sizes)]
+            if tpad != total:
+                segs.append(jnp.zeros((tpad - total,), jnp.float32))
+            return jnp.concatenate(segs)
+
+        return build
+
+    # all-True mask folds to plain scalar decay (wd_flat None)
+    wd_flat = _piecewise(mask_tree, True) if weight_decay else None
+    mult_flat = _piecewise(mult_tree, 1.0)
+
+    def _flatten(tree):
+        tl = jax.tree_util.tree_leaves(tree)
+        flat = jnp.concatenate(
+            [t.reshape(-1).astype(jnp.float32) for t in tl])
+        if tpad != total:
+            flat = jnp.pad(flat, (0, tpad - total))
+        return flat
+
+    def _unflatten(flat):
+        outs, off = [], 0
+        for sh, sz, dt in zip(shapes, sizes, dtypes):
+            outs.append(flat[off:off + sz].reshape(sh).astype(dt))
+            off += sz
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    def init_fn(params):
+        del params
+        return _FlatAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jnp.zeros((tpad,), jnp.float32),
+            nu=jnp.zeros((tpad,), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        g = _flatten(updates)
+        if max_norm:
+            gnorm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            g = g * (jnp.float32(max_norm) /
+                     jnp.maximum(gnorm, jnp.float32(max_norm)))
+        count_inc = state.count + 1
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * jnp.square(g)
+        c = count_inc.astype(jnp.float32)
+        mhat = mu / (1.0 - jnp.float32(b1) ** c)
+        nuhat = nu / (1.0 - jnp.float32(b2) ** c)
+        u = mhat / (jnp.sqrt(nuhat) + eps)
+        if weight_decay:
+            p = _flatten(params)
+            dec = weight_decay * p
+            u = u + (dec * wd_flat() if wd_flat is not None else dec)
+        lr = lr_fn(state.count)
+        u = -lr * u
+        if mult_flat is not None:
+            u = u * mult_flat()
+        return _unflatten(u), _FlatAdamState(count_inc, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 class _RAdamState(NamedTuple):
@@ -265,6 +381,54 @@ def _lr_multi_scaler(params, lr_multi):
             state))
 
 
+def _freeze_predicate(train_cfg):
+    """TRAIN.freeze_params {encoder,decoder} -> path predicate (or None)."""
+    freeze = dict(train_cfg.get("freeze_params") or {})
+    if not (freeze.get("encoder") or freeze.get("decoder")):
+        return None
+    import re
+
+    def _frozen(path, _):
+        s = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "ptv3_model" not in s:
+            return False
+        is_dec = re.search(r"dec\d+_", s) is not None
+        return bool(freeze.get("decoder") if is_dec
+                    else freeze.get("encoder"))
+
+    return _frozen
+
+
+def _build_fused_adamw(params, train_cfg, tx_schedule, betas, wd,
+                       grad_norm, mask_tree):
+    """flat_adamw with the chain's lr-multi and freeze links folded into
+    one per-leaf multiplier tree (freeze == multiplier 0, exactly what
+    optax.masked(set_to_zero) did to the update)."""
+    lr_multi = dict(train_cfg.get("lr_multi") or {})
+    frozen = _freeze_predicate(train_cfg)
+
+    def leaf_mult(path, _):
+        name = "/".join(str(getattr(p, "key", getattr(p, "name", "")))
+                        for p in path)
+        m = 1.0
+        for frag, mult in lr_multi.items():
+            if frag in name:
+                m = float(mult)
+        if frozen is not None and frozen(path, None):
+            m = 0.0
+        return m
+
+    mult_tree = jax.tree_util.tree_map_with_path(leaf_mult, params)
+    tx = flat_adamw(params, tx_schedule, b1=betas[0], b2=betas[1],
+                    weight_decay=wd, mask_tree=mask_tree,
+                    max_norm=float(grad_norm) if grad_norm else None,
+                    mult_tree=mult_tree)
+    accum = int(train_cfg.get("gradient_accumulation_steps", 1) or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
+
+
 def build_optimizer(params, train_cfg):
     """Returns (optax tx, schedule_fn(step)->decay_rate)."""
     lr = float(train_cfg.get("learning_rate", 1e-4))
@@ -297,6 +461,13 @@ def build_optimizer(params, train_cfg):
 
     opt_name = train_cfg.get("optim", "adamw")
     mask_tree = decay_mask(params)
+    fused = bool(train_cfg.get("fused_optim", True))
+    if opt_name == "adamw" and fused:
+        # one flat-buffer update program instead of ~2-3 fusions per leaf
+        # (see flat_adamw) — elementwise-identical, so it subsumes the
+        # clip / lr-multi / freeze links of the per-leaf chain below
+        return _build_fused_adamw(params, train_cfg, tx_schedule, betas,
+                                  wd, grad_norm, mask_tree), schedule
     if opt_name == "adamw":
         core = optax.adamw(tx_schedule, b1=betas[0], b2=betas[1],
                            weight_decay=wd, mask=mask_tree)

@@ -89,8 +89,15 @@ def create_train_state(model, sample_batch, train_cfg, rng, mesh=None,
         # the manual reduce-scatter step (parallel/zero.py
         # make_manual_zero1_train_step) moves the global-norm clip inside
         # its shard_map, so the state's tx is the clip-free elementwise
-        # chain and its opt_state matches that chain's structure
-        train_cfg = dict(train_cfg, grad_norm=None)
+        # chain and its opt_state matches that chain's structure (per-leaf:
+        # the fused flat buffer can't run on shard shapes)
+        train_cfg = dict(train_cfg, grad_norm=None, fused_optim=False)
+    if mesh is not None and mesh.shape.get("tp", 1) > 1:
+        # under tensor parallelism the per-leaf moments shard WITH their
+        # parameter (state_shardings path-suffix rules); a flat moment
+        # buffer would force an all-gather of every tp-sharded gradient,
+        # so keep the per-leaf chain on tp meshes
+        train_cfg = dict(train_cfg, fused_optim=False)
     tx, schedule = build_optimizer(params, train_cfg)
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)

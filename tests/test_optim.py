@@ -157,3 +157,47 @@ def test_freeze_params_masks_updates():
     upd, _ = tx.update(grads, tx.init(params), params)
     assert float(jnp.abs(upd["ptv3_model"]["dec0_up"]["kernel"]).max()) == 0
     assert float(jnp.abs(upd["ptv3_model"]["enc0_block0"]["kernel"]).max()) > 0
+
+
+def test_fused_adamw_matches_per_leaf_chain():
+    """flat_adamw (TRAIN.fused_optim default) must be elementwise-identical
+    to the per-leaf optax chain across multiple steps, including the
+    global-norm clip, no-decay groups, lr multipliers, and freeze masks
+    (association of the clip's norm reduction is the only tolerated
+    difference)."""
+    rng = np.random.RandomState(0)
+
+    def leaf(*s):
+        return jnp.asarray(rng.randn(*s), jnp.float32)
+
+    params = {
+        "ptv3_model": {
+            "enc0_block0": {"kernel": leaf(8, 16), "bias": leaf(16)},
+            "embedding_norm": {"scale": leaf(8), "bias": leaf(8)},
+            "dec0_up": {"kernel": leaf(16, 8)},
+        },
+        "act_proj_head": {"kernel": leaf(16, 4), "bias": leaf(4)},
+    }
+    cfg = dict(optim="adamw", learning_rate=3e-3, lr_sched="cosine",
+               warmup_steps=2, num_train_steps=50, weight_decay=0.05,
+               grad_norm=1.0, betas=[0.9, 0.98],
+               lr_multi={"act_proj_head": 0.5},
+               freeze_params={"decoder": True})
+    tx_f, _ = build_optimizer(params, dict(cfg, fused_optim=True))
+    tx_c, _ = build_optimizer(params, dict(cfg, fused_optim=False))
+    pf = pc = params
+    sf, sc = tx_f.init(params), tx_c.init(params)
+    import optax
+    for step in range(5):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32) *
+            (1.0 + step), params)
+        uf, sf = tx_f.update(grads, sf, pf)
+        uc, sc = tx_c.update(grads, sc, pc)
+        pf = optax.apply_updates(pf, uf)
+        pc = optax.apply_updates(pc, uc)
+    flat_f = jax.tree_util.tree_leaves(pf)
+    flat_c = jax.tree_util.tree_leaves(pc)
+    for a, b in zip(flat_f, flat_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

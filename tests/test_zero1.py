@@ -187,7 +187,20 @@ def test_gspmd_zero1_layout_and_step_parity():
         n_dp_params = sum("dp" in s for s in dp_specs(state.params))
         assert n_dp_params == 0  # params always dp-replicated
         if zero1:
-            assert n_dp_opt > 10, f"only {n_dp_opt} dp-sharded moments"
+            # fused adamw (the default): the WHOLE moment mass lives in
+            # two flat (Tpad,) buffers, both dp-sharded (their pad granule
+            # divides any dp <= 4096); the per-leaf chain would instead
+            # show one sharded leaf per dp-divisible parameter
+            assert n_dp_opt >= 2, f"only {n_dp_opt} dp-sharded moments"
+            sharded_bytes = sum(
+                l.size * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(state.opt_state)
+                if hasattr(l, "sharding") and "dp" in tuple(l.sharding.spec))
+            total_bytes = sum(
+                l.size * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(state.opt_state))
+            assert sharded_bytes / total_bytes > 0.95, (
+                sharded_bytes, total_bytes)
             pinned = jax.tree_util.tree_map(lambda l: l.sharding, state)
         else:
             assert n_dp_opt == 0
