@@ -24,9 +24,12 @@ Kernel dataflow per (b, row-tile t, tap-chunk kc):
      reconstruct, and the dW-from-residual autodiff downstream stay
      untouched.
 
-Links outside the window are compacted into per-tap far lists (host-shipped
-by train/datasets/structure.py or compacted on device) and scatter-added
-into the intermediate by XLA — the far path A/B winner (BENCH_AB_r05.json).
+Links outside the window ride host-shipped POOLED far lists by default
+(stem_far_pooled_apply below; train/datasets/structure.py builds them),
+with the rectangular per-tap layout kept as stem_far_layout="per_tap" and
+as the device-side-compaction fallback (BENCH_AB_r05.json
+stem_far_layout has the measured A/B of both plus two rejected pooled
+realizations).
 
 Measured at the release shape (B=16, N=4096, K=125, C8=8, bf16):
 16.3 ms vs 41 ms for the full-N smallc gather + matmul.
